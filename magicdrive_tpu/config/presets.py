@@ -1,0 +1,124 @@
+"""Model presets mirroring the reference's released configs.
+
+ref:configs/model/SDv1.5mv_rawbox.yaml (the model config),
+ref:configs/exp/{224x400,272x736}.yaml (training recipes).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from magicdrive_tpu.models.unet import UNetConfig, NUSCENES_NEIGHBORS
+from magicdrive_tpu.models.controlnet import BEVControlNetConfig
+from magicdrive_tpu.models.embedders import BBoxEmbedderConfig
+from magicdrive_tpu.models.vae import VAEConfig
+from magicdrive_tpu.models.clip_text import CLIPTextConfig
+from magicdrive_tpu.pipeline.pipeline import PipelineConfig, MagicDriveModules
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelPreset:
+    name: str
+    unet: UNetConfig
+    controlnet: BEVControlNetConfig
+    vae: VAEConfig
+    clip: CLIPTextConfig
+    pipeline: PipelineConfig
+    image_size: Tuple[int, int]  # (H, W)
+    map_hw: Tuple[int, int] = (200, 200)
+    map_channels: int = 8
+    bbox_max_len: int = 160  # static pad (ref train max 159)
+
+    def modules(self, dtype=jnp.bfloat16) -> MagicDriveModules:
+        return MagicDriveModules.create(self.unet, self.controlnet, self.vae,
+                                        self.clip, dtype=dtype)
+
+
+def sd15mv_rawbox_224x400() -> ModelPreset:
+    """The flagship 224x400 model (ref:configs/exp/224x400.yaml)."""
+    unet = UNetConfig(neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        map_size=(8, 200, 200),
+        map_embedder_out_channels=(16, 32, 96, 256),
+        bbox=BBoxEmbedderConfig(mode="all-xyz"),
+    )
+    return ModelPreset(
+        name="SDv1.5mv-rawbox-224x400", unet=unet, controlnet=cn,
+        vae=VAEConfig(), clip=CLIPTextConfig(),
+        pipeline=PipelineConfig(latent_height=28, latent_width=50),
+        image_size=(224, 400),
+    )
+
+
+def sd15mv_rawbox_272x736() -> ModelPreset:
+    """Hi-res variant with the Plus map embedder (ref:configs/exp/272x736.yaml)."""
+    unet = UNetConfig(neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        map_size=(8, 200, 200),
+        use_map_embedder_plus=True,
+        map_embedder_plus_size=(34, 92),
+        bbox=BBoxEmbedderConfig(mode="all-xyz"),
+    )
+    return ModelPreset(
+        name="SDv1.5mv-rawbox-272x736", unet=unet, controlnet=cn,
+        vae=VAEConfig(), clip=CLIPTextConfig(),
+        pipeline=PipelineConfig(latent_height=34, latent_width=92),
+        image_size=(272, 736),
+    )
+
+
+def tiny_debug(n_cam: int = 6) -> ModelPreset:
+    """CPU-runnable tiny model for tests/demos (BASELINE.json config 1)."""
+    neighbors = NUSCENES_NEIGHBORS[:n_cam] if n_cam == 6 else tuple(
+        ((i - 1) % n_cam, (i + 1) % n_cam) for i in range(n_cam))
+    unet = UNetConfig(
+        block_out_channels=(8, 16, 16, 16), num_attention_heads=2,
+        cross_attention_dim=16, norm_num_groups=4,
+        neighboring_view_pair=neighbors)
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        camera_out_dim=16, map_size=(8, 200, 200),
+        map_embedder_out_channels=(4, 4, 8, 8),
+        bbox=BBoxEmbedderConfig(class_token_dim=16, proj_dims=(16, 8, 8, 16)),
+    )
+    return ModelPreset(
+        name="tiny-debug", unet=unet, controlnet=cn,
+        vae=VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1,
+                      norm_num_groups=2),
+        clip=CLIPTextConfig(vocab_size=49408, hidden_size=16, num_layers=2,
+                            num_heads=2, intermediate_size=32),
+        pipeline=PipelineConfig(latent_height=28, latent_width=50,
+                                num_inference_steps=4, n_cam=n_cam,
+                                dtype=jnp.float32),
+        image_size=(224, 400), bbox_max_len=8,
+    )
+
+
+def init_params(preset: ModelPreset, modules: MagicDriveModules,
+                key: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
+    """Random-initialize all variable collections with consistent shapes."""
+    p = preset.pipeline
+    B, N, L = batch_size, p.n_cam, preset.bbox_max_len
+    h, w = p.latent_height, p.latent_width
+    mh, mw = preset.map_hw
+    keys = jax.random.split(key, 4)
+    unet_vars = modules.unet.init(
+        keys[0], jnp.zeros((B * N, h, w, 4)), jnp.zeros((B * N,), jnp.int32),
+        jnp.zeros((B * N, 1 + 77 + L, preset.unet.cross_attention_dim)))
+    cn_vars = modules.controlnet.init(
+        keys[1], jnp.zeros((B, N, h, w, 4)), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, N, 3, 7)),
+        jnp.zeros((B, 77, preset.unet.cross_attention_dim)),
+        jnp.zeros((B, mh, mw, preset.map_channels)),
+        jnp.zeros((B, N, L, preset.controlnet.bbox.n_points, 3)),
+        jnp.zeros((B, N, L), jnp.int32), jnp.zeros((B, N, L)))
+    vae_vars = modules.vae.init(keys[2],
+                                jnp.zeros((1, *preset.image_size, 3)))
+    clip_vars = modules.clip.init(keys[3], jnp.zeros((1, 77), jnp.int32))
+    return {"unet": unet_vars, "controlnet": cn_vars, "vae": vae_vars,
+            "clip": clip_vars}

@@ -1,0 +1,136 @@
+"""Conv building blocks for the SD UNet / VAE (NHWC, TPU-native layout).
+
+Behavioral contract follows diffusers' ResnetBlock2D / Downsample2D /
+Upsample2D as used by SD-v1.5 (ref:third_party/diffusers/src/diffusers/models/resnet.py),
+re-designed for NHWC and bf16 compute with fp32 norms.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm computed in fp32, output cast back to compute dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.epsilon,
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+def conv(features, kernel=3, stride=1, padding=1, dtype=jnp.float32, name=None,
+         use_bias=True):
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    return nn.Conv(
+        features, kernel_size=(kernel, kernel), strides=(stride, stride),
+        padding=padding, dtype=dtype, param_dtype=jnp.float32, name=name,
+        use_bias=use_bias,
+    )
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jnp.ndarray] = None):
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = conv(self.out_channels, kernel=1, padding=0, dtype=self.dtype,
+                     name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv(self.out_channels, stride=2, padding=1, dtype=self.dtype,
+                    name="conv")(x)
+
+
+def nearest_resize(x, out_hw):
+    """torch F.interpolate(mode='nearest') semantics: idx = floor(i*in/out)."""
+    b, h, w, c = x.shape
+    oh, ow = out_hw
+    hi = (jnp.arange(oh) * h) // oh
+    wi = (jnp.arange(ow) * w) // ow
+    return x[:, hi][:, :, wi]
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, out_hw=None):
+        b, h, w, c = x.shape
+        out_hw = out_hw or (2 * h, 2 * w)
+        x = nearest_resize(x, out_hw)
+        return conv(self.out_channels, dtype=self.dtype, name="conv")(x)
+
+
+class DownEncoderBlock2D(nn.Module):
+    """VAE encoder block: resnets (no temb) + optional strided-conv downsample.
+
+    Downsample uses asymmetric padding (pad right/bottom only), matching the
+    VAE's ``Downsample2D(padding=0)`` + manual pad (0,1,0,1).
+    """
+
+    out_channels: int
+    num_layers: int = 2
+    add_downsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{i}")(x)
+        if self.add_downsample:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = conv(self.out_channels, stride=2, padding=0, dtype=self.dtype,
+                     name="downsamplers_0_conv")(x)
+        return x
+
+
+class UpDecoderBlock2D(nn.Module):
+    out_channels: int
+    num_layers: int = 3
+    add_upsample: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              name=f"resnets_{i}")(x)
+        if self.add_upsample:
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsamplers_0")(x)
+        return x

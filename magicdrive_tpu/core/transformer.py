@@ -1,0 +1,192 @@
+"""Transformer blocks, including the first-class multi-view (cross-view) block.
+
+The reference injects cross-view attention by swapping diffusers'
+``BasicTransformerBlock`` for ``BasicMultiviewTransformerBlock`` at runtime via
+a vendored-diffusers patch (ref:magicdrive/networks/unet_2d_condition_multiview.py:222-234,
+ref:magicdrive/networks/blocks.py:35-238). Here the cross-view path is a
+constructor-time option of the block itself, and the reference's per-camera
+Python scatter loop (ref:blocks.py:213-217) becomes one batched gather +
+attention + sum — no dynamic control flow under jit.
+
+View-axis convention: sequences arrive flattened as (B*N_cam, L, C); the
+cross-view step reshapes to (B, N_cam, L, C) with static ``n_cam``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+from einops import rearrange
+
+from .attention import Attention
+
+
+def zeros_dense(features, dtype, name):
+    return nn.Dense(
+        features, dtype=dtype, param_dtype=jnp.float32, name=name,
+        kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+    )
+
+
+class GatedConnector(nn.Module):
+    """tanh(alpha) * x with zero-init alpha (ref:blocks.py:24-32)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return jnp.tanh(alpha).astype(self.dtype) * x
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: Dense(d, 8d) -> x * gelu(gate) -> Dense(4d, d)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="net_2")(h)
+
+
+class LayerNorm32(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         param_dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(self.dtype)
+
+
+class BasicTransformerBlock(nn.Module):
+    """Self-attn + text-cross-attn + FF; optional cross-view attention.
+
+    With ``neighboring_view_pair`` set, a fourth attention (``attn4``) over
+    neighboring camera views runs between attn2 and the FF, its output passed
+    through a zero-init connector so a freshly-initialized block is an exact
+    identity extension of the stock SD block (ref:blocks.py:67-90,190-222).
+    """
+
+    dim: int
+    n_heads: int
+    d_head: int
+    cross_attention_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    # cross-view options
+    neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
+    neighboring_attn_type: str = "add"   # add | concat | self
+    zero_module_type: str = "zero_linear"  # zero_linear | gated | none
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        attn1 = Attention(self.dim, self.n_heads, self.d_head, dtype=self.dtype,
+                          name="attn1")
+        x = attn1(LayerNorm32(self.dtype, name="norm1")(x)) + x
+
+        if self.cross_attention_dim is not None:
+            attn2 = Attention(self.dim, self.n_heads, self.d_head,
+                              cross_attention_dim=self.cross_attention_dim,
+                              dtype=self.dtype, name="attn2")
+            x = attn2(LayerNorm32(self.dtype, name="norm2")(x), context) + x
+
+        if self.neighboring_view_pair is not None:
+            x = self._cross_view(x) + x
+
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            LayerNorm32(self.dtype, name="norm3")(x)) + x
+        return x
+
+    def _cross_view(self, x):
+        """Cross-view attention over neighboring cameras.
+
+        x: (B*N, L, C) -> output of the same shape (pre-residual).
+        """
+        neighbors = jnp.asarray(self.neighboring_view_pair)  # (N, k)
+        n_cam, n_nb = neighbors.shape
+        h = LayerNorm32(self.dtype, name="norm4")(x)
+        hv = rearrange(h, "(b n) l c -> b n l c", n=n_cam)
+        attn4 = Attention(self.dim, self.n_heads, self.d_head,
+                          cross_attention_dim=self.dim, dtype=self.dtype,
+                          name="attn4")
+
+        if self.neighboring_attn_type == "add":
+            # One attention per neighbor, summed (ref:blocks.py:112-121,213-217).
+            # Batched: fold the neighbor axis into batch for one big call.
+            q = jnp.broadcast_to(hv[:, :, None], (*hv.shape[:2], n_nb, *hv.shape[2:]))
+            kv = jnp.take(hv, neighbors.reshape(-1), axis=1)  # b (n k) l c
+            kv = rearrange(kv, "b (n k) l c -> (b n k) l c", k=n_nb)
+            q = rearrange(q, "b n k l c -> (b n k) l c")
+            out = attn4(q, kv)
+            out = rearrange(out, "(b n k) l c -> b n k l c", n=n_cam, k=n_nb)
+            out = out.sum(axis=2)
+        elif self.neighboring_attn_type == "concat":
+            kv = jnp.take(hv, neighbors.reshape(-1), axis=1)
+            kv = rearrange(kv, "b (n k) l c -> (b n) (k l) c", k=n_nb)
+            out = attn4(rearrange(hv, "b n l c -> (b n) l c"), kv)
+            out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
+        elif self.neighboring_attn_type == "self":
+            out = attn4(rearrange(hv, "b n l c -> b (n l) c"), None)
+            out = rearrange(out, "b (n l) c -> b n l c", n=n_cam)
+        else:
+            raise ValueError(self.neighboring_attn_type)
+
+        out = rearrange(out, "b n l c -> (b n) l c")
+        if self.zero_module_type == "zero_linear":
+            out = zeros_dense(self.dim, self.dtype, "connector")(out)
+        elif self.zero_module_type == "gated":
+            out = GatedConnector(self.dim, self.dtype, name="connector")(out)
+        elif self.zero_module_type != "none":
+            raise ValueError(self.zero_module_type)
+        return out
+
+
+class Transformer2DModel(nn.Module):
+    """GroupNorm -> 1x1 proj_in -> transformer block(s) -> 1x1 proj_out + residual.
+
+    Matches SD-v1.5's Transformer2DModel (use_linear_projection=False,
+    norm eps 1e-6, one block).
+    """
+
+    n_heads: int
+    d_head: int
+    cross_attention_dim: int = 768
+    depth: int = 1
+    norm_num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+
+    @nn.compact
+    def __call__(self, x, context):
+        from .resnet import GroupNorm, conv
+
+        b, hgt, wdt, c = x.shape
+        residual = x
+        h = GroupNorm(self.norm_num_groups, 1e-6, dtype=self.dtype, name="norm")(x)
+        h = conv(self.n_heads * self.d_head, kernel=1, padding=0,
+                 dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(b, hgt * wdt, -1)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.n_heads * self.d_head, self.n_heads, self.d_head,
+                cross_attention_dim=self.cross_attention_dim, dtype=self.dtype,
+                neighboring_view_pair=self.neighboring_view_pair,
+                neighboring_attn_type=self.neighboring_attn_type,
+                zero_module_type=self.zero_module_type,
+                name=f"transformer_blocks_{i}",
+            )(h, context)
+        h = h.reshape(b, hgt, wdt, -1)
+        h = conv(c, kernel=1, padding=0, dtype=self.dtype, name="proj_out")(h)
+        return h + residual

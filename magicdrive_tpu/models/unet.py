@@ -1,0 +1,223 @@
+"""SD-v1.5 UNet with first-class multi-view (cross-view) attention.
+
+TPU-native re-design of diffusers ``UNet2DConditionModel`` +
+``UNet2DConditionModelMultiview`` (ref:magicdrive/networks/unet_2d_condition_multiview.py).
+The reference swaps transformer blocks at runtime via a vendored-diffusers
+patch; here ``neighboring_view_pair`` simply configures the blocks.
+
+Layout: NHWC. The batch axis is (B * n_cam); cross-view blocks regroup views
+internally using static ``n_cam``. ControlNet residuals enter additively at
+the skip connections and mid block
+(ref:unet_2d_condition_multiview.py:464-473,487-488).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from magicdrive_tpu.core.embeddings import get_timestep_embedding
+from magicdrive_tpu.core.resnet import (
+    GroupNorm, ResnetBlock2D, Downsample2D, Upsample2D, conv,
+)
+from magicdrive_tpu.core.transformer import Transformer2DModel
+
+
+# ring neighbors for the 6 nuScenes cameras in view_order
+# (ref:configs/dataset/Nuscenes.yaml:27-33)
+NUSCENES_NEIGHBORS: Tuple[Tuple[int, int], ...] = (
+    (5, 1), (0, 2), (1, 3), (2, 4), (3, 5), (4, 0),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    num_attention_heads: int = 8
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    # which down blocks have cross-attention (SD1.5: last one does not)
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    # multiview options (None -> stock SD UNet)
+    neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
+    neighboring_attn_type: str = "add"
+    zero_module_type: str = "zero_linear"
+
+    @property
+    def up_block_has_attn(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.down_block_has_attn))
+
+
+class CrossAttnDownBlock(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    has_attn: bool
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        res = []
+        for i in range(self.cfg.layers_per_block):
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              groups=self.cfg.norm_num_groups,
+                              name=f"resnets_{i}")(x, temb)
+            if self.has_attn:
+                x = Transformer2DModel(
+                    self.cfg.num_attention_heads,
+                    self.out_channels // self.cfg.num_attention_heads,
+                    cross_attention_dim=self.cfg.cross_attention_dim,
+                    norm_num_groups=self.cfg.norm_num_groups,
+                    dtype=self.dtype,
+                    neighboring_view_pair=self.cfg.neighboring_view_pair,
+                    neighboring_attn_type=self.cfg.neighboring_attn_type,
+                    zero_module_type=self.cfg.zero_module_type,
+                    name=f"attentions_{i}",
+                )(x, context)
+            res.append(x)
+        if self.add_downsample:
+            x = Downsample2D(self.out_channels, dtype=self.dtype,
+                             name="downsamplers_0")(x)
+            res.append(x)
+        return x, res
+
+
+class CrossAttnUpBlock(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    num_layers: int
+    has_attn: bool
+    add_upsample: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context):
+        for i in range(self.num_layers):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                              groups=self.cfg.norm_num_groups,
+                              name=f"resnets_{i}")(x, temb)
+            if self.has_attn:
+                x = Transformer2DModel(
+                    self.cfg.num_attention_heads,
+                    self.out_channels // self.cfg.num_attention_heads,
+                    cross_attention_dim=self.cfg.cross_attention_dim,
+                    norm_num_groups=self.cfg.norm_num_groups,
+                    dtype=self.dtype,
+                    neighboring_view_pair=self.cfg.neighboring_view_pair,
+                    neighboring_attn_type=self.cfg.neighboring_attn_type,
+                    zero_module_type=self.cfg.zero_module_type,
+                    name=f"attentions_{i}",
+                )(x, context)
+        if self.add_upsample:
+            # upsample directly to the next skip's spatial size (handles odd
+            # latent dims, e.g. 7x13 at 224x400 — diffusers forward_upsample_size)
+            out_hw = skips[-1].shape[1:3] if skips else None
+            x = Upsample2D(self.out_channels, dtype=self.dtype,
+                           name="upsamplers_0")(x, out_hw)
+        return x
+
+
+class UNetMidBlock(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        ch = self.cfg.block_out_channels[-1]
+        x = ResnetBlock2D(ch, dtype=self.dtype, groups=self.cfg.norm_num_groups,
+                          name="resnets_0")(x, temb)
+        x = Transformer2DModel(
+            self.cfg.num_attention_heads, ch // self.cfg.num_attention_heads,
+            cross_attention_dim=self.cfg.cross_attention_dim,
+            norm_num_groups=self.cfg.norm_num_groups, dtype=self.dtype,
+            neighboring_view_pair=self.cfg.neighboring_view_pair,
+            neighboring_attn_type=self.cfg.neighboring_attn_type,
+            zero_module_type=self.cfg.zero_module_type,
+            name="attentions_0",
+        )(x, context)
+        x = ResnetBlock2D(ch, dtype=self.dtype, groups=self.cfg.norm_num_groups,
+                          name="resnets_1")(x, temb)
+        return x
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="linear_1")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="linear_2")(h)
+
+
+class UNet2DConditionModel(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,              # (B*N, H, W, in_channels)
+        timesteps: jnp.ndarray,           # (B*N,) or scalar
+        encoder_hidden_states: jnp.ndarray,  # (B*N, L, 768)
+        down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
+        mid_block_additional_residual: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps[None], (sample.shape[0],))
+
+        t_emb = get_timestep_embedding(timesteps, cfg.block_out_channels[0])
+        temb = TimestepEmbedding(cfg.block_out_channels[0] * 4,
+                                 dtype=self.dtype, name="time_embedding")(
+            t_emb.astype(self.dtype))
+
+        sample = sample.astype(self.dtype)
+        context = encoder_hidden_states.astype(self.dtype)
+
+        x = conv(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(sample)
+
+        skips = [x]
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            is_final = i == len(cfg.block_out_channels) - 1
+            x, res = CrossAttnDownBlock(
+                cfg, out_ch, has_attn=cfg.down_block_has_attn[i],
+                add_downsample=not is_final, dtype=self.dtype,
+                name=f"down_blocks_{i}",
+            )(x, temb, context)
+            skips.extend(res)
+
+        if down_block_additional_residuals is not None:
+            assert len(skips) == len(down_block_additional_residuals), (
+                len(skips), len(down_block_additional_residuals))
+            skips = [s + r.astype(self.dtype)
+                     for s, r in zip(skips, down_block_additional_residuals)]
+
+        x = UNetMidBlock(cfg, dtype=self.dtype, name="mid_block")(x, temb, context)
+        if mid_block_additional_residual is not None:
+            x = x + mid_block_additional_residual.astype(self.dtype)
+
+        rev_channels = list(reversed(cfg.block_out_channels))
+        for i, out_ch in enumerate(rev_channels):
+            is_final = i == len(rev_channels) - 1
+            x = CrossAttnUpBlock(
+                cfg, out_ch, num_layers=cfg.layers_per_block + 1,
+                has_attn=cfg.up_block_has_attn[i], add_upsample=not is_final,
+                dtype=self.dtype, name=f"up_blocks_{i}",
+            )(x, skips, temb, context)
+        assert not skips
+
+        x = GroupNorm(cfg.norm_num_groups, 1e-5, dtype=self.dtype,
+                      name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = conv(cfg.out_channels, dtype=self.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,106 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from magicdrive_tpu.core.transformer import (
+    BasicTransformerBlock, Transformer2DModel,
+)
+from magicdrive_tpu.core.attention import Attention, dot_product_attention
+from magicdrive_tpu.models.unet import NUSCENES_NEIGHBORS
+
+N_CAM = 6
+
+
+def test_dot_product_attention_matches_naive():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 5, 3, 8)).astype(np.float32)
+    k = rng.normal(size=(2, 7, 3, 8)).astype(np.float32)
+    v = rng.normal(size=(2, 7, 3, 8)).astype(np.float32)
+    got = np.asarray(dot_product_attention(*map(jnp.asarray, (q, k, v))))
+    # naive per-head
+    scale = 8 ** -0.5
+    want = np.empty_like(got)
+    for b in range(2):
+        for h in range(3):
+            logits = q[b, :, h] @ k[b, :, h].T * scale
+            w = np.exp(logits - logits.max(-1, keepdims=True))
+            w /= w.sum(-1, keepdims=True)
+            want[b, :, h] = w @ v[b, :, h]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("attn_type", ["add", "concat", "self"])
+def test_multiview_block_zero_init_is_identity(attn_type):
+    """A freshly-initialized multiview block must equal the stock block:
+    the zero-linear connector kills the cross-view contribution
+    (SURVEY.md §7.2 step 4 invariant; ref:blocks.py:81-90)."""
+    dim, heads, d_head, L = 32, 4, 8, 10
+    B = 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B * N_CAM, L, dim))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B * N_CAM, 7, 16))
+
+    mv = BasicTransformerBlock(
+        dim, heads, d_head, cross_attention_dim=16,
+        neighboring_view_pair=NUSCENES_NEIGHBORS,
+        neighboring_attn_type=attn_type, zero_module_type="zero_linear")
+    params = mv.init(jax.random.PRNGKey(2), x, ctx)["params"]
+    out_mv = mv.apply({"params": params}, x, ctx)
+
+    stock = BasicTransformerBlock(dim, heads, d_head, cross_attention_dim=16)
+    stock_params = {k: v for k, v in params.items()
+                    if k not in ("norm4", "attn4", "connector")}
+    out_stock = stock.apply({"params": stock_params}, x, ctx)
+    np.testing.assert_allclose(np.asarray(out_mv), np.asarray(out_stock),
+                               atol=1e-5)
+
+
+def _ln(x, p, eps=1e-5):
+    h = (x - x.mean(-1, keepdims=True)) / jnp.sqrt(x.var(-1, keepdims=True) + eps)
+    return h * p["scale"] + p["bias"]
+
+
+def test_multiview_add_mode_matches_per_camera_loop():
+    """The batched gather+sum cross-view path must equal the reference's
+    per-camera loop semantics (ref:blocks.py:106-121, 213-217): replicate the
+    whole block step-by-step with a Python per-camera loop and compare."""
+    dim, heads, d_head, L, B = 16, 2, 8, 6, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B * N_CAM, L, dim))
+
+    mv = BasicTransformerBlock(
+        dim, heads, d_head, cross_attention_dim=None,
+        neighboring_view_pair=NUSCENES_NEIGHBORS,
+        neighboring_attn_type="add", zero_module_type="none")
+    params = mv.init(jax.random.PRNGKey(2), x)["params"]
+    got = mv.apply({"params": params}, x)
+
+    attn = Attention(dim, heads, d_head, cross_attention_dim=dim)
+    # 1. self-attention
+    h = _ln(x, params["norm1"]["LayerNorm_0"])
+    x1 = x + attn.apply({"params": params["attn1"]}, h)
+    # 2. cross-view, reference per-camera loop
+    h = _ln(x1, params["norm4"]["LayerNorm_0"]).reshape(B, N_CAM, L, dim)
+    cv = np.zeros((B, N_CAM, L, dim), np.float32)
+    for cam, (nb1, nb2) in enumerate(NUSCENES_NEIGHBORS):
+        for nb in (nb1, nb2):
+            out = attn.apply({"params": params["attn4"]}, h[:, cam], h[:, nb])
+            cv[:, cam] += np.asarray(out)
+    x2 = x1 + cv.reshape(B * N_CAM, L, dim)
+    # 3. feed-forward (GEGLU)
+    h = _ln(x2, params["norm3"]["LayerNorm_0"])
+    ffp = params["ff"]
+    h = h @ ffp["net_0_proj"]["kernel"] + ffp["net_0_proj"]["bias"]
+    h, gate = jnp.split(h, 2, axis=-1)
+    h = h * jax.nn.gelu(gate, approximate=False)
+    want = x2 + (h @ ffp["net_2"]["kernel"] + ffp["net_2"]["bias"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_transformer2d_shapes():
+    model = Transformer2DModel(n_heads=2, d_head=8, cross_attention_dim=16,
+                               norm_num_groups=4)
+    x = jnp.ones((2, 4, 6, 16))
+    ctx = jnp.ones((2, 7, 16))
+    params = model.init(jax.random.PRNGKey(0), x, ctx)["params"]
+    out = model.apply({"params": params}, x, ctx)
+    assert out.shape == x.shape

@@ -1,0 +1,97 @@
+import numpy as np
+
+from magicdrive_tpu.data.bbox import (
+    corners_from_boxes, transform_points, project_to_image, visible_mask_3d,
+)
+from magicdrive_tpu.data.collate import CollateConfig, collate_fn
+from magicdrive_tpu.data.fixtures import make_dataset, make_sample
+from magicdrive_tpu.data.caption import (
+    HashTokenizer, tokenize_captions, DEFAULT_TEMPLATE,
+)
+
+
+def test_corners_axis_aligned_box():
+    # unit cube centered at origin-bottom: x,y centered, z from 0
+    boxes = np.array([[0, 0, 0, 2, 4, 3, 0]], np.float64)
+    c = corners_from_boxes(boxes)
+    assert c.shape == (1, 8, 3)
+    assert np.allclose(sorted(np.unique(c[0, :, 0])), [-1, 1])
+    assert np.allclose(sorted(np.unique(c[0, :, 1])), [-2, 2])
+    assert np.allclose(sorted(np.unique(c[0, :, 2])), [0, 3])
+    # mmdet3d corner order: first corner is (x0, y0, z0)
+    assert np.allclose(c[0, 0], [-1, -2, 0])
+    assert np.allclose(c[0, 6], [1, -2, 3])  # (x1, y0, z1)
+
+
+def test_corners_yaw_rotation():
+    boxes = np.array([[5, 0, 0, 2, 4, 3, np.pi / 2]], np.float64)
+    c = corners_from_boxes(boxes)
+    # after +90° CCW: x-extent becomes y-extent
+    assert np.allclose(sorted(np.unique(np.round(c[0, :, 0], 6))), [3, 7])
+    assert np.allclose(sorted(np.unique(np.round(c[0, :, 1], 6))), [-1, 1])
+
+
+def test_visibility_front_camera():
+    s = make_sample(0)
+    # box straight ahead (+x) must be visible in CAM_FRONT (view 1),
+    # invisible in CAM_BACK (view 4)
+    boxes = np.array([[10, 0, 0, 2, 4, 2, 0]], np.float64)
+    c = corners_from_boxes(boxes)
+    assert visible_mask_3d(c, s["lidar2camera"][1])[0]
+    assert not visible_mask_3d(c, s["lidar2camera"][4])[0]
+
+
+def test_projection_center():
+    s = make_sample(0)
+    # point straight ahead projects near the image center of CAM_FRONT
+    pt = np.array([[[20.0, 0.0, 1.6]]])
+    uv = project_to_image(pt, s["lidar2image"][1])
+    assert uv[0, 0, 2] == 1.0  # positive depth
+    assert abs(uv[0, 0, 0] - 200) < 30 and abs(uv[0, 0, 1] - 112) < 30
+
+
+def test_collate_shapes_static():
+    cfg = CollateConfig(bbox_max_len=16, is_train=True)
+    batch = collate_fn(make_dataset(2), cfg, rng=np.random.default_rng(0))
+    assert batch["pixel_values"].shape == (2, 6, 224, 400, 3)
+    assert batch["bev_map"].shape == (2, 200, 200, 8)
+    assert batch["camera_param"].shape == (2, 6, 3, 7)
+    assert batch["input_ids"].shape == (2, 77)
+    assert batch["uncond_ids"].shape == (1, 77)
+    assert batch["bboxes"].shape == (2, 6, 16, 8, 3)
+    assert batch["classes"].shape == (2, 6, 16)
+    assert batch["masks"].shape == (2, 6, 16)
+    # every view sees some but not all boxes
+    per_view = batch["masks"].sum(-1)
+    assert (per_view > 0).all()
+    # padded slots carry class -1
+    assert (batch["classes"][batch["masks"] == 0] == -1).all()
+
+
+def test_collate_view_shared():
+    cfg = CollateConfig(bbox_max_len=32, bbox_view_shared=True, is_train=False)
+    batch = collate_fn(make_dataset(1), cfg)
+    assert batch["bboxes"].shape[1] == 1
+    assert batch["masks"][0, 0].sum() == 24  # all boxes, unfiltered
+
+
+def test_camera_param_layout():
+    s = make_sample(3)
+    batch = collate_fn([s], CollateConfig())
+    K = s["camera_intrinsics"][0, :3, :3]
+    c2l = s["camera2lidar"][0, :3, :4]
+    np.testing.assert_allclose(batch["camera_param"][0, 0, :, :3], K, rtol=1e-6)
+    np.testing.assert_allclose(batch["camera_param"][0, 0, :, 3:], c2l,
+                               rtol=1e-6)
+
+
+def test_tokenize_captions():
+    tok = HashTokenizer()
+    ids, uncond = tokenize_captions(
+        [{"location": "boston", "description": "rain"}], tok)
+    assert ids.shape == (1, 77) and uncond.shape == (1, 77)
+    assert ids[0, 0] == 49406  # BOS
+    # deterministic
+    ids2, _ = tokenize_captions(
+        [{"location": "boston", "description": "rain"}], tok)
+    assert (ids == ids2).all()
