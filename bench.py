@@ -1,0 +1,94 @@
+"""Headline benchmark: 6-view 224x400 generation throughput, frames/sec/chip.
+
+Measures the flagship SD-v1.5 multiview pipeline (BEV ControlNet + cross-view
+UNet, CFG, 20-step sampler, fused VAE decode) as ONE jitted function on the
+available accelerator — the metric named by BASELINE.json ("6-view 224x400
+frames/sec/chip at 20 DDIM steps"). A frame = one 6-camera nuScenes sample.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6), so
+the baseline is an engineering estimate of the PyTorch reference on one A800:
+per-view UNet+ControlNet eval ~0.7 TFLOPs at 28x50 latent, x6 views x2 (CFG)
+x20 steps + VAE decode ~= 171 TFLOPs/frame; torch eager diffusers at ~15% MFU
+of A800's 312 TFLOPs fp16 ~= 47 TFLOPs/s ~= 0.27 frames/s. The north-star
+"4x A800" therefore means ~1.1 frames/s/chip here.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Ensure the axon TPU backend resolves when launched bare (see verify skill).
+if "PYTHONPATH" not in os.environ and os.path.isdir("/root/.axon_site"):
+    sys.path.append("/root/.axon_site")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_A800_FPS = 0.27  # estimated reference throughput (see module docstring)
+
+
+def main() -> None:
+    from magicdrive_tpu.config.presets import sd15mv_rawbox_224x400, init_params
+    from magicdrive_tpu.pipeline.pipeline import MagicDrivePipeline
+    from magicdrive_tpu.data.collate import CollateConfig, collate_fn
+    from magicdrive_tpu.data.fixtures import make_dataset
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    preset = sd15mv_rawbox_224x400()
+    # bf16 compute on TPU; fp32 on CPU fallback so the bench always runs.
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if not on_tpu:  # CPU smoke: shrink the model so the bench finishes
+        from magicdrive_tpu.config.presets import tiny_debug
+
+        preset = tiny_debug()
+
+    modules = preset.modules(dtype=dtype)
+    params = init_params(preset, modules, jax.random.PRNGKey(0))
+    pipe = MagicDrivePipeline(modules, params, preset.pipeline)
+
+    B = 1
+    ccfg = CollateConfig(bbox_max_len=preset.bbox_max_len,
+                         canvas_hw=preset.image_size, is_train=False)
+    batch = {k: jnp.asarray(v) for k, v in
+             collate_fn(make_dataset(B), ccfg).items()}
+    batch.pop("pixel_values", None)
+
+    key = jax.random.PRNGKey(42)
+
+    def fetch(x):
+        # Force real completion with a tiny host transfer: through a remote
+        # device tunnel, block_until_ready alone can return before the device
+        # has finished the work.
+        return np.asarray(x[0, 0, 0, :4, 0])
+
+    # warmup / compile
+    imgs = pipe(batch, key=key)
+    fetch(imgs)
+
+    iters = 5 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(iters):
+        imgs = pipe(batch, key=jax.random.fold_in(key, i))
+    fetch(imgs)
+    dt = time.perf_counter() - t0
+
+    fps = B * iters / dt
+    print(json.dumps({
+        "metric": "6-view 224x400 frames/sec/chip (CFG, 20-step sampler, "
+                  "VAE decode; one jitted call)" if on_tpu else
+                  "tiny-model frames/sec (CPU smoke — not the TPU metric)",
+        "value": round(fps, 4),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_A800_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

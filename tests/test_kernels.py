@@ -1,0 +1,73 @@
+"""Flash-attention Pallas kernel vs the XLA reference implementation."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from magicdrive_tpu.core.attention import dot_product_attention
+from magicdrive_tpu.kernels.flash_attention import flash_attention
+
+
+def _ref(q, k, v):
+    return dot_product_attention(q, k, v, backend="xla")
+
+
+CASES = [
+    (2, 100, 100, 4, 40),   # SD self-attn head_dim 40, unaligned L
+    (1, 96, 238, 2, 80),    # cross-attn onto 1+77+160 tokens
+    (3, 17, 9, 2, 64),      # tiny ragged
+]
+
+
+@pytest.mark.parametrize("shape", CASES)
+def test_forward_matches_xla(shape):
+    B, Lq, Lk, H, D = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, Lq, H, D))
+    k = jax.random.normal(ks[1], (B, Lk, H, D))
+    v = jax.random.normal(ks[2], (B, Lk, H, D))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _ref(q, k, v)
+    assert jnp.abs(out - ref).max() < 2e-5
+
+
+@pytest.mark.parametrize("shape", CASES[:2])
+def test_backward_matches_xla(shape):
+    B, Lq, Lk, H, D = shape
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (B, Lq, H, D))
+    k = jax.random.normal(ks[1], (B, Lk, H, D))
+    v = jax.random.normal(ks[2], (B, Lk, H, D))
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, interpret=True) ** 2).mean()
+
+    def loss_ref(q, k, v):
+        return (_ref(q, k, v) ** 2).mean()
+
+    gf = jax.grad(loss_flash, (0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        assert jnp.abs(a - b).max() < 2e-5
+
+
+def test_bf16_inputs():
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (2, 64, 2, 32), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (2, 64, 2, 32), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (2, 64, 2, 32), jnp.bfloat16)
+    out = flash_attention(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _ref(q, k, v)
+    assert jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)).max() < 0.05
+
+
+def test_leading_batch_axes():
+    """(B, N, L, H, D) leading axes flatten correctly."""
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (2, 3, 40, 2, 32))
+    k = jax.random.normal(ks[1], (2, 3, 24, 2, 32))
+    v = jax.random.normal(ks[2], (2, 3, 24, 2, 32))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = _ref(q, k, v)
+    assert out.shape == ref.shape
+    assert jnp.abs(out - ref).max() < 2e-5
