@@ -71,7 +71,9 @@ def preprocess_bbox(
     masks = np.zeros((B, N_out, L), np.float32)
 
     for b, s in enumerate(samples):
-        boxes7 = np.asarray(s["boxes"], np.float64).reshape(-1, 7)
+        arr = np.asarray(s["boxes"], np.float64)
+        boxes7 = (arr.reshape(len(arr), -1)[:, :7] if arr.size
+                  else np.zeros((0, 7)))  # drop velocity dims if present
         labels = np.asarray(s["labels"], np.int64).reshape(-1)
         if len(boxes7) == 0 or (cfg.is_train and cfg.bbox_drop_ratio > 0
                                 and rng.random() < cfg.bbox_drop_ratio):
