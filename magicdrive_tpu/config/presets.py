@@ -99,6 +99,79 @@ def tiny_debug(n_cam: int = 6) -> ModelPreset:
     )
 
 
+def preset_from_config(cfg) -> ModelPreset:
+    """Build a ModelPreset from a composed YAML config tree
+    (magicdrive_tpu.config.loader.compose over repo ``configs/``)."""
+    mc, dc, rc = cfg["model"], cfg["dataset"], cfg["runner"]
+    H, W = dc["image_size"]
+    neighbors = tuple(tuple(p) for p in dc["neighboring_view_pair"])
+    u = mc["unet"]
+    unet = UNetConfig(
+        block_out_channels=tuple(u["block_out_channels"]),
+        layers_per_block=u["layers_per_block"],
+        num_attention_heads=u["num_attention_heads"],
+        cross_attention_dim=u["cross_attention_dim"],
+        norm_num_groups=u["norm_num_groups"],
+        neighboring_view_pair=neighbors,
+        neighboring_attn_type=u["neighboring_attn_type"],
+        zero_module_type=u["zero_module_type"])
+    cn_c = mc["controlnet"]
+    be = mc["bbox_embedder_param"]
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        camera_in_dim=cn_c["camera_in_dim"],
+        camera_out_dim=cn_c["camera_out_dim"],
+        cam_num_freqs=cn_c["cam_num_freqs"],
+        map_size=tuple(cn_c["map_size"]),
+        map_embedder_out_channels=tuple(cn_c["map_embedder_out_channels"]),
+        use_map_embedder_plus=bool(cn_c["use_map_embedder_plus"]),
+        map_embedder_plus_size=tuple(cn_c["map_embedder_plus_size"])
+        if cn_c.get("map_embedder_plus_size") else (34, 92),
+        bbox=BBoxEmbedderConfig(
+            n_classes=be["n_classes"],
+            class_token_dim=be["class_token_dim"],
+            trainable_class_token=be["trainable_class_token"],
+            embedder_num_freq=be["embedder_num_freq"],
+            proj_dims=tuple(be["proj_dims"]),
+            mode=mc["bbox_mode"],
+            minmax_normalize=be["minmax_normalize"]),
+        drop_cond_ratio=cn_c["drop_cond_ratio"],
+        drop_cam_num=cn_c["drop_cam_num"],
+        drop_cam_with_box=cn_c["drop_cam_with_box"])
+    pp = rc["pipeline_param"]
+    pipeline = PipelineConfig(
+        num_inference_steps=pp["num_inference_steps"],
+        guidance_scale=pp["guidance_scale"],
+        conditioning_scale=pp["controlnet_conditioning_scale"],
+        sampler=pp["sampler"],
+        use_zero_map_as_unconditional=pp["use_zero_map_as_unconditional"],
+        latent_height=H // 8, latent_width=W // 8,
+        n_cam=len(neighbors))
+    map_c, map_h, map_w = cn_c["map_size"]
+    return ModelPreset(
+        name=f"{mc['name']}-{H}x{W}", unet=unet, controlnet=cn,
+        vae=VAEConfig(), clip=CLIPTextConfig(), pipeline=pipeline,
+        image_size=(H, W), map_hw=(map_h, map_w), map_channels=map_c,
+        bbox_max_len=rc["bbox_max_length"])
+
+
+def sd15mv_rawbox_video_16f() -> ModelPreset:
+    """16-frame multi-view video model: the 224x400 image model with
+    temporal attention in every transformer block (BASELINE.json config 5;
+    SURVEY.md §2.5 — the MagicDrive-t capability target)."""
+    base = sd15mv_rawbox_224x400()
+    unet = dataclasses.replace(base.unet, temporal_frames=16)
+    return dataclasses.replace(base, name="SDv1.5mv-rawbox-video16",
+                               unet=unet)
+
+
+def tiny_video_debug(n_frames: int = 4, n_cam: int = 6) -> ModelPreset:
+    """CPU-runnable tiny video model."""
+    base = tiny_debug(n_cam=n_cam)
+    unet = dataclasses.replace(base.unet, temporal_frames=n_frames)
+    return dataclasses.replace(base, name="tiny-video-debug", unet=unet)
+
+
 def init_params(preset: ModelPreset, modules: MagicDriveModules,
                 key: jax.Array, batch_size: int = 1) -> Dict[str, Any]:
     """Random-initialize all variable collections with consistent shapes."""
@@ -107,9 +180,11 @@ def init_params(preset: ModelPreset, modules: MagicDriveModules,
     h, w = p.latent_height, p.latent_width
     mh, mw = preset.map_hw
     keys = jax.random.split(key, 4)
+    F = preset.unet.temporal_frames or 1
     unet_vars = modules.unet.init(
-        keys[0], jnp.zeros((B * N, h, w, 4)), jnp.zeros((B * N,), jnp.int32),
-        jnp.zeros((B * N, 1 + 77 + L, preset.unet.cross_attention_dim)))
+        keys[0], jnp.zeros((B * F * N, h, w, 4)),
+        jnp.zeros((B * F * N,), jnp.int32),
+        jnp.zeros((B * F * N, 1 + 77 + L, preset.unet.cross_attention_dim)))
     cn_vars = modules.controlnet.init(
         keys[1], jnp.zeros((B, N, h, w, 4)), jnp.zeros((B,), jnp.int32),
         jnp.zeros((B, N, 3, 7)),

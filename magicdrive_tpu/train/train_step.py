@@ -77,15 +77,21 @@ def make_train_step(modules, cfg: TrainConfig, schedule: NoiseSchedule = None):
         noisy = ddpm.add_noise(schedule, latents, noise, t_full)
 
         drop_mask = None
+        map_drop_mask = None
         if cfg.drop_cond_ratio > 0:
+            k_drop, k_map = jax.random.split(k_drop)
             drop_mask = make_drop_mask(k_drop, B, N, cfg.drop_cond_ratio,
                                        cfg.drop_cam_num)
+            if modules.controlnet.cfg.use_uncond_map:
+                # per-sample map substitution (ref:unet_addon_rawbox.py:397-412)
+                map_drop_mask = jax.random.bernoulli(
+                    k_map, cfg.drop_cond_ratio, (B,)).astype(jnp.float32)
 
         down_res, mid_res, tokens = modules.controlnet.apply(
             params["controlnet"], noisy, t, batch["camera_param"], text,
             batch["bev_map"], batch["bboxes"], batch["classes"],
             batch["masks"], encoder_hidden_states_uncond=uncond_text,
-            drop_mask=drop_mask)
+            drop_mask=drop_mask, map_drop_mask=map_drop_mask)
 
         eps_pred = modules.unet.apply(
             params["unet"], rearrange(noisy, "b n h w c -> (b n) h w c"),

@@ -1,0 +1,59 @@
+"""Config composition: groups, overlays, interpolation, overrides, replay."""
+import os
+
+import pytest
+
+from magicdrive_tpu.config.loader import (
+    compose, load_run_config, load_run_overrides, save_run_config,
+)
+from magicdrive_tpu.config.presets import preset_from_config
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_compose_defaults():
+    cfg = compose(CONFIG_DIR)
+    assert cfg.model.name == "SDv1.5mv-rawbox"
+    assert cfg.dataset.image_size == [224, 400]
+    assert cfg.runner.pipeline_param.num_inference_steps == 20
+    assert cfg.parallel.axis_names == ["dp", "view"]
+
+
+def test_group_swap_and_overrides():
+    cfg = compose(CONFIG_DIR, overrides=[
+        "runner=debug", "runner.learning_rate=1e-4", "+extra.knob=3"])
+    assert cfg.runner.max_train_steps == 7  # debug group
+    assert cfg.runner.learning_rate == 1e-4
+    assert cfg.extra.knob == 3
+    with pytest.raises(KeyError):
+        compose(CONFIG_DIR, overrides=["runner.not_a_key=1"])
+
+
+def test_exp_overlay():
+    cfg = compose(CONFIG_DIR, overrides=["exp=272x736"])
+    assert cfg.dataset.image_size == [272, 736]
+    assert cfg.model.controlnet.use_map_embedder_plus is True
+    assert cfg.task_id == "272x736"
+
+
+def test_preset_from_config():
+    cfg = compose(CONFIG_DIR)
+    preset = preset_from_config(cfg)
+    assert preset.image_size == (224, 400)
+    assert preset.pipeline.latent_height == 28
+    assert preset.unet.neighboring_view_pair[0] == (5, 1)
+    assert preset.map_channels == 8
+
+    hi = preset_from_config(compose(CONFIG_DIR, overrides=["exp=272x736"]))
+    assert hi.controlnet.use_map_embedder_plus
+    assert hi.pipeline.latent_width == 92
+
+
+def test_run_config_replay(tmp_path):
+    overrides = ["runner=debug", "seed=7"]
+    cfg = compose(CONFIG_DIR, overrides=overrides)
+    save_run_config(cfg, str(tmp_path), overrides)
+    replayed = load_run_config(str(tmp_path))
+    assert replayed.seed == 7
+    assert replayed.runner.max_train_steps == 7
+    assert load_run_overrides(str(tmp_path)) == overrides
