@@ -87,6 +87,10 @@ class BasicTransformerBlock(nn.Module):
     neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
     neighboring_attn_type: str = "add"   # add | concat | self
     zero_module_type: str = "zero_linear"  # zero_linear | gated | none
+    # temporal (video) option: attention over the frame axis, injected with
+    # the same zero-init connector pattern as the cross-view block
+    # (SURVEY.md §2.5 — the MagicDrive-t extension; batch layout (B*F*N)).
+    temporal_frames: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -103,9 +107,37 @@ class BasicTransformerBlock(nn.Module):
         if self.neighboring_view_pair is not None:
             x = self._cross_view(x) + x
 
+        if self.temporal_frames is not None and self.temporal_frames > 1:
+            x = self._temporal(x) + x
+
         x = FeedForward(self.dim, dtype=self.dtype, name="ff")(
             LayerNorm32(self.dtype, name="norm3")(x)) + x
         return x
+
+    def _temporal(self, x):
+        """Self-attention over frames at each (view, spatial) position.
+
+        x: (B*F*N, L, C), batch layout (batch, frame, view) with views
+        innermost (the cross-view step requires that); returns pre-residual
+        output gated by a zero-init connector so a freshly-added temporal
+        block leaves the image model unchanged.
+        """
+        f = self.temporal_frames
+        n = len(self.neighboring_view_pair) if self.neighboring_view_pair \
+            else 1
+        h = LayerNorm32(self.dtype, name="norm_temp")(x)
+        h = rearrange(h, "(b f n) l c -> (b n l) f c", f=f, n=n)
+        attn = Attention(self.dim, self.n_heads, self.d_head,
+                         dtype=self.dtype, name="attn_temp")
+        out = attn(h)
+        out = rearrange(out, "(b n l) f c -> (b f n) l c", n=n,
+                        l=x.shape[1])
+        if self.zero_module_type == "zero_linear":
+            out = zeros_dense(self.dim, self.dtype, "connector_temp")(out)
+        elif self.zero_module_type == "gated":
+            out = GatedConnector(self.dim, self.dtype,
+                                 name="connector_temp")(out)
+        return out
 
     def _cross_view(self, x):
         """Cross-view attention over neighboring cameras.
@@ -167,6 +199,7 @@ class Transformer2DModel(nn.Module):
     neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
     neighboring_attn_type: str = "add"
     zero_module_type: str = "zero_linear"
+    temporal_frames: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, context):
@@ -185,6 +218,7 @@ class Transformer2DModel(nn.Module):
                 neighboring_view_pair=self.neighboring_view_pair,
                 neighboring_attn_type=self.neighboring_attn_type,
                 zero_module_type=self.zero_module_type,
+                temporal_frames=self.temporal_frames,
                 name=f"transformer_blocks_{i}",
             )(h, context)
         h = h.reshape(b, hgt, wdt, -1)

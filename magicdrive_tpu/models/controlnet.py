@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange, repeat
@@ -51,6 +52,9 @@ class BEVControlNetConfig:
     drop_cond_ratio: float = 0.25
     drop_cam_num: int = 6
     drop_cam_with_box: bool = False
+    # training-time unconditional-map substitution
+    # (ref:unet_addon_rawbox.py:188-202): None | negative1 | random | learnable
+    use_uncond_map: Optional[str] = None
 
 
 class BEVControlNet(nn.Module):
@@ -112,6 +116,23 @@ class BEVControlNet(nn.Module):
             ucfg.block_out_channels[-1], kernel_size=(1, 1), dtype=self.dtype,
             param_dtype=jnp.float32, kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros)
+        # unconditional map (ref:unet_addon_rawbox.py:188-202); NHWC
+        map_shape = (cfg.map_size[1], cfg.map_size[2], cfg.map_size[0])
+        if cfg.use_uncond_map == "negative1":
+            self.uncond_map = self.variable(
+                "buffers", "uncond_map",
+                lambda: -jnp.ones(map_shape, jnp.float32))
+        elif cfg.use_uncond_map == "random":
+            self.uncond_map = self.variable(
+                "buffers", "uncond_map",
+                lambda: jax.random.normal(jax.random.PRNGKey(20230325),
+                                          map_shape))
+        elif cfg.use_uncond_map == "learnable":
+            self.uncond_map = self.param(
+                "uncond_map", nn.initializers.normal(1.0), map_shape,
+                jnp.float32)
+        elif cfg.use_uncond_map is not None:
+            raise ValueError(cfg.use_uncond_map)
 
     # ---------- token assembly ----------
 
@@ -181,6 +202,20 @@ class BEVControlNet(nn.Module):
             jnp.zeros((n_box_tokens,)))
         return jnp.concatenate([head, null], axis=0)
 
+    def substitute_with_uncond_map(self, controlnet_cond: jnp.ndarray,
+                                   mask: Optional[jnp.ndarray] = None
+                                   ) -> jnp.ndarray:
+        """Replace samples' maps with the unconditional map
+        (ref:unet_addon_rawbox.py:378-412). mask: (B,), 1 -> substitute;
+        None -> substitute all."""
+        u = self.uncond_map
+        u = u.value if hasattr(u, "value") else u
+        if mask is None:
+            return jnp.broadcast_to(u[None], controlnet_cond.shape)
+        m = mask.reshape(-1, 1, 1, 1).astype(controlnet_cond.dtype)
+        return controlnet_cond * (1 - m) + u[None].astype(
+            controlnet_cond.dtype) * m
+
     def embed_map(self, controlnet_cond: jnp.ndarray) -> jnp.ndarray:
         """BEV map (B, H, W, C) -> latent-resolution features (B, h, w, 320)."""
         return self.controlnet_cond_embedding(controlnet_cond.astype(self.dtype))
@@ -199,7 +234,9 @@ class BEVControlNet(nn.Module):
         masks: jnp.ndarray,
         encoder_hidden_states_uncond: Optional[jnp.ndarray] = None,
         drop_mask: Optional[jnp.ndarray] = None,
+        map_drop_mask: Optional[jnp.ndarray] = None,  # (B,) 1 -> uncond map
         conditioning_scale: float = 1.0,
+        guess_mode: bool = False,
         tokens: Optional[jnp.ndarray] = None,
         cond_feat: Optional[jnp.ndarray] = None,
     ):
@@ -225,6 +262,9 @@ class BEVControlNet(nn.Module):
         temb = self.time_embedding(t_emb.astype(self.dtype))
 
         if cond_feat is None:
+            if map_drop_mask is not None and self.cfg.use_uncond_map:
+                controlnet_cond = self.substitute_with_uncond_map(
+                    controlnet_cond, map_drop_mask)
             cond_feat = self.embed_map(controlnet_cond)
         cond_feat = repeat(cond_feat, "b h w c -> (b n) h w c", n=N)
 
@@ -236,8 +276,18 @@ class BEVControlNet(nn.Module):
             res_samples.extend(res)
         x = self.mid_block(x, temb, ctx)
 
+        if guess_mode:
+            # logspace 0.1 -> 1.0 residual scaling
+            # (ref:unet_addon_rawbox.py:897-904)
+            import numpy as np
+
+            scales = np.logspace(-1, 0, len(res_samples) + 1) \
+                * conditioning_scale
+        else:
+            scales = [conditioning_scale] * (len(res_samples) + 1)
         down_res = tuple(
-            zconv(r) * conditioning_scale
-            for zconv, r in zip(self.controlnet_down_blocks, res_samples))
-        mid_res = self.controlnet_mid_block(x) * conditioning_scale
+            zconv(r) * s
+            for zconv, r, s in zip(self.controlnet_down_blocks, res_samples,
+                                   scales[:-1]))
+        mid_res = self.controlnet_mid_block(x) * scales[-1]
         return down_res, mid_res, tokens

@@ -47,6 +47,8 @@ class UNetConfig:
     neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
     neighboring_attn_type: str = "add"
     zero_module_type: str = "zero_linear"
+    # video extension: attention over this many frames per transformer block
+    temporal_frames: Optional[int] = None
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
@@ -77,6 +79,7 @@ class CrossAttnDownBlock(nn.Module):
                     neighboring_view_pair=self.cfg.neighboring_view_pair,
                     neighboring_attn_type=self.cfg.neighboring_attn_type,
                     zero_module_type=self.cfg.zero_module_type,
+                    temporal_frames=self.cfg.temporal_frames,
                     name=f"attentions_{i}",
                 )(x, context)
             res.append(x)
@@ -112,6 +115,7 @@ class CrossAttnUpBlock(nn.Module):
                     neighboring_view_pair=self.cfg.neighboring_view_pair,
                     neighboring_attn_type=self.cfg.neighboring_attn_type,
                     zero_module_type=self.cfg.zero_module_type,
+                    temporal_frames=self.cfg.temporal_frames,
                     name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
@@ -139,6 +143,7 @@ class UNetMidBlock(nn.Module):
             neighboring_view_pair=self.cfg.neighboring_view_pair,
             neighboring_attn_type=self.cfg.neighboring_attn_type,
             zero_module_type=self.cfg.zero_module_type,
+            temporal_frames=self.cfg.temporal_frames,
             name="attentions_0",
         )(x, context)
         x = ResnetBlock2D(ch, dtype=self.dtype, groups=self.cfg.norm_num_groups,

@@ -63,12 +63,12 @@ class VAEAttention(nn.Module):
         y = y.reshape(b, h * w, c)
         dense = lambda name: nn.Dense(c, dtype=self.dtype,
                                       param_dtype=jnp.float32, name=name)
-        q, k, v = dense("query")(y), dense("key")(y), dense("value")(y)
+        q, k, v = dense("to_q")(y), dense("to_k")(y), dense("to_v")(y)
         logits = jnp.einsum("bqc,bkc->bqk", q, k).astype(jnp.float32)
         logits = logits * (c ** -0.5)
         weights = jnp.asarray(nn.softmax(logits, axis=-1), dtype=self.dtype)
         y = jnp.einsum("bqk,bkc->bqc", weights, v)
-        y = dense("proj_attn")(y)
+        y = dense("to_out")(y)
         return y.reshape(b, h, w, c) + residual
 
 
