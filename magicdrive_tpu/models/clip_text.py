@@ -22,6 +22,7 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
+    eos_token_id: int = 49407
 
 
 def quick_gelu(x):
@@ -98,8 +99,10 @@ class CLIPTextModel(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="final_layer_norm")(
             x.astype(jnp.float32)).astype(self.dtype)
-        # pooled = hidden state at the EOS token (highest token id in CLIP's
-        # vocab), matching transformers' pooler for CLIP.
-        eos_idx = jnp.argmax(input_ids, axis=-1)
+        # pooled = hidden state at the first EOS token, matching transformers'
+        # CLIP pooler (for SD-v1.5's tokenizer, EOS = 49407 = highest id, so
+        # this coincides with the legacy argmax-over-ids behavior).
+        eos_idx = jnp.argmax(
+            (input_ids == cfg.eos_token_id).astype(jnp.int32), axis=-1)
         pooled = x[jnp.arange(B), eos_idx]
         return x, pooled

@@ -171,12 +171,14 @@ def test_clip_parity(torch_env):
 
     hf_cfg = HFConfig(vocab_size=1000, hidden_size=32, num_hidden_layers=2,
                       num_attention_heads=4, intermediate_size=64,
-                      max_position_embeddings=77, hidden_act="quick_gelu")
+                      max_position_embeddings=77, hidden_act="quick_gelu",
+                      eos_token_id=999, bos_token_id=998)
     tm = HFModel(hf_cfg).eval()
     jm = CLIPTextModel(CLIPTextConfig(vocab_size=1000, hidden_size=32,
                                       num_layers=2, num_heads=4,
-                                      intermediate_size=64))
-    ids = np.array([[3, 7, 11, 999] + [0] * 73], np.int32)
+                                      intermediate_size=64,
+                                      eos_token_id=999))
+    ids = np.array([[998, 7, 11, 999] + [0] * 73], np.int32)
     variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(ids))
     converted = convert_clip(variables, _sd(tm))
 
@@ -211,10 +213,11 @@ def test_unipc_parity(torch_env):
     rs = np.random.RandomState(0)
     w = rs.randn(4, 4).astype(np.float32) * 0.05
 
-    def eps_fn(x, t):  # deterministic synthetic model
-        return np.tanh(x @ w) + 0.01 * float(t) / 1000.0
+    def eps_fn(x, t):  # deterministic synthetic model, (B, C, H, W) samples
+        return np.tanh(np.einsum("bchw,cd->bdhw", x, w)) \
+            + 0.01 * float(t) / 1000.0
 
-    x_t = rs.randn(2, 4).astype(np.float32)
+    x_t = rs.randn(2, 4, 8, 8).astype(np.float32)
     x_j = x_t.copy()
 
     ours = make_unipc_coeffs(sd15_schedule(), num_steps)
@@ -254,8 +257,8 @@ def test_magicdrive_controlnet_parity(torch_env):
         layers_per_block=2, cross_attention_dim=C, attention_head_dim=4,
         norm_num_groups=8,
         conditioning_embedding_out_channels=(4, 8, 16, 16),
-        camera_in_dim=189, camera_out_dim=C, camera_hidden_dim=None,
-        map_embedder_param={}, uncond_cam_in_dim=(3, 7),
+        camera_in_dim=189, camera_out_dim=C,
+        map_size=(8, 200, 200), uncond_cam_in_dim=(3, 7),
         use_uncond_map=None, drop_cond_ratio=0.0, drop_cam_num=1,
         cam_embedder_param={"input_dims": 3, "num_freqs": 4,
                             "include_input": True, "log_sampling": True},
