@@ -39,6 +39,12 @@ def main() -> None:
     from magicdrive_tpu.data.collate import CollateConfig, collate_fn
     from magicdrive_tpu.data.fixtures import make_dataset
 
+    backend = os.environ.get("MAGICDRIVE_ATTN_BACKEND")
+    if backend:
+        from magicdrive_tpu.core.attention import set_attention_backend
+
+        set_attention_backend(backend)
+
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     preset = sd15mv_rawbox_224x400()
@@ -53,7 +59,7 @@ def main() -> None:
     params = init_params(preset, modules, jax.random.PRNGKey(0))
     pipe = MagicDrivePipeline(modules, params, preset.pipeline)
 
-    B = 1
+    B = int(os.environ.get("MAGICDRIVE_BENCH_BATCH", "1"))
     ccfg = CollateConfig(bbox_max_len=preset.bbox_max_len,
                          canvas_hw=preset.image_size, is_train=False)
     batch = {k: jnp.asarray(v) for k, v in

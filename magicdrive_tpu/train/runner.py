@@ -267,15 +267,23 @@ class Runner:
             self.validator.validate(state.params, self.logger, step,
                                     self.run_dir)
 
+        # optional profiler window (SURVEY.md §5.1): +runner.profile_steps=[a,b]
+        profile_window = rc.get("profile_steps") or None
         done = False
         for epoch in range(rc["num_train_epochs"]):
             if done:
                 break
             for batch in self.loader:
+                if profile_window and step == profile_window[0]:
+                    jax.profiler.start_trace(
+                        os.path.join(self.run_dir, "profile"))
                 batch = self.shard_batch(batch)
                 state, metrics = step_fn(state, batch,
                                          jax.random.fold_in(key, step))
                 step += 1
+                if profile_window and step == profile_window[1]:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
                 loss = float(metrics["loss"])
                 if not np.isfinite(loss):  # NaN guard (ref:base_runner.py:344)
                     raise RuntimeError(f"NaN/inf loss at step {step}")

@@ -242,3 +242,40 @@ def test_cache_and_loader(mini_nuscenes, tmp_path):
     assert len(batches) == 1  # 3 samples, drop_last
     assert batches[0]["bev_map"].shape == (2, 200, 200, 26)
     cache.close()
+
+
+def test_torch_fixture_roundtrip(tmp_path):
+    """FolderSetWrapper loads the reference demo .pth format into the
+    collate contract (ref:demo/readme.md)."""
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(0)
+    K = np.eye(4); K[0, 0] = K[1, 1] = 316.0; K[0, 2] = 200; K[1, 2] = 112
+    l2c = np.stack([np.eye(4)] * 6)
+    l2c[:, :3, 3] = rs.randn(6, 3)
+    raw = {
+        "img": torch.from_numpy(rs.rand(6, 3, 224, 400).astype(np.float32)),
+        "gt_bboxes_3d": torch.from_numpy(rs.randn(5, 9)),
+        "gt_labels_3d": torch.from_numpy(rs.randint(0, 10, 5)),
+        "gt_masks_bev": torch.from_numpy(
+            (rs.rand(8, 200, 200) > 0.5).astype(np.uint8)),
+        "camera_intrinsics": torch.from_numpy(np.stack([K] * 6)),
+        "lidar2camera": torch.from_numpy(l2c),
+        "img_aug_matrix": torch.from_numpy(np.stack([np.eye(4)] * 6)),
+        "metas": {"location": "boston-seaport", "description": "demo",
+                  "token": "tok0", "timeofday": ""},
+    }
+    torch.save(raw, tmp_path / "tok0.pth")
+
+    from magicdrive_tpu.data.torch_fixtures import FolderSetWrapper
+
+    ds = FolderSetWrapper(str(tmp_path))
+    s = ds[0]
+    assert s["img"].shape == (6, 224, 400, 3)
+    assert s["bev_map"].shape == (200, 200, 8)
+    assert s["boxes"].shape == (5, 7)
+    np.testing.assert_allclose(
+        s["camera2lidar"] @ s["lidar2camera"], np.stack([np.eye(4)] * 6),
+        atol=1e-9)
+    batch = collate_fn([s], CollateConfig(bbox_max_len=8,
+                                          canvas_hw=(224, 400)))
+    assert batch["camera_param"].shape == (1, 6, 3, 7)

@@ -33,13 +33,17 @@ def test_temporal_mixes_frames():
     blk = BasicTransformerBlock(dim=8, n_heads=2, d_head=4,
                                 temporal_frames=2,
                                 zero_module_type="none")
-    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 8))  # (B*F*N)=4
+    # layout (b f n) with F=2, N=1: rows 0,1 = frames of sample 0
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 8))
     v = blk.init(jax.random.PRNGKey(1), x)
     y = blk.apply(v, x)
-    # perturb frame 1 only; frame 0 outputs must change (temporal coupling)
-    x2 = x.at[2:].add(1.0)
+    # perturb sample 0's frame 1 only; its frame 0 output must change
+    x2 = x.at[1].add(1.0)
     y2 = blk.apply(v, x2)
-    assert np.abs(np.asarray(y2[:2] - y[:2])).max() > 1e-4
+    assert np.abs(np.asarray(y2[0] - y[0])).max() > 1e-4
+    # sample 1 (rows 2,3) is untouched — no cross-sample leakage
+    np.testing.assert_allclose(np.asarray(y2[2:]), np.asarray(y[2:]),
+                               atol=1e-6)
 
 
 def test_video_pipeline_end_to_end():
