@@ -254,6 +254,11 @@ class Runner:
         if resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             log.info("resumed from step %d", int(state.step))
+            if self.cfg.get("resume_reset_scheduler"):
+                from .state import reset_lr_schedule
+
+                state = reset_lr_schedule(state)
+                log.info("LR schedule progress reset")
 
         step_fn = jax.jit(make_train_step(self.modules, self.tcfg),
                           donate_argnums=(0,))

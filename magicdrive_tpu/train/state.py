@@ -110,6 +110,27 @@ class TrainState(struct.PyTreeNode):
                             opt_state=opt_state)
 
 
+def reset_lr_schedule(state: "TrainState") -> "TrainState":
+    """Reset the LR schedule progress while keeping optimizer moments —
+    the reference's resume_reset_scheduler, which surgically restores only
+    last_epoch/_step_count (ref:magicdrive/runner/utils.py:18-26,
+    ref:base_runner.py:301-310). In optax the schedule progress is the
+    ScaleByScheduleState count inside the chain."""
+    import optax
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.zeros_like(node.count))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[walk(v) for v in node])
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return state.replace(opt_state=walk(state.opt_state))
+
+
 def create_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:
     trainable, frozen = split_params(params)
     tx = make_optimizer(cfg)

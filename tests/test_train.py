@@ -78,3 +78,46 @@ def test_train_step_runs_and_updates_only_trainable():
         for a, b in zip(jax.tree.leaves(split_params(params)[0]),
                         jax.tree.leaves(state.trainable)))
     assert moved > 10
+
+
+def test_reset_lr_schedule():
+    """resume_reset_scheduler semantics: schedule progress zeroed, Adam
+    moments preserved (ref:runner/utils.py:18-26)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from magicdrive_tpu.train.state import (
+        TrainConfig, create_train_state, reset_lr_schedule,
+    )
+
+    params = {"controlnet": {"params": {"w": jnp.ones((4, 4))}}}
+    st = create_train_state(params, TrainConfig(lr_warmup_steps=5))
+    g = {"controlnet/params/w": jnp.ones((4, 4)) * 0.1}
+    for _ in range(3):
+        st = st.apply_gradients(g)
+
+    def counts(node, out):
+        if isinstance(node, optax.ScaleByScheduleState):
+            out.append(int(node.count))
+        elif isinstance(node, tuple):
+            for v in node:
+                counts(v, out)
+        return out
+
+    def mu(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node.mu
+        if isinstance(node, tuple):
+            for v in node:
+                r = mu(v)
+                if r is not None:
+                    return r
+        return None
+
+    st2 = reset_lr_schedule(st)
+    assert any(c == 3 for c in counts(st.opt_state, []))
+    assert all(c == 0 for c in counts(st2.opt_state, []))
+    np.testing.assert_array_equal(
+        np.asarray(mu(st.opt_state)["controlnet/params/w"]),
+        np.asarray(mu(st2.opt_state)["controlnet/params/w"]))

@@ -37,8 +37,9 @@ def test_temporal_mixes_frames():
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 8))
     v = blk.init(jax.random.PRNGKey(1), x)
     y = blk.apply(v, x)
-    # perturb sample 0's frame 1 only; its frame 0 output must change
-    x2 = x.at[1].add(1.0)
+    # perturb sample 0's frame 1 only (single channel — a uniform shift
+    # would be cancelled by the LayerNorms); its frame 0 output must change
+    x2 = x.at[1, :, 0].add(1.0)
     y2 = blk.apply(v, x2)
     assert np.abs(np.asarray(y2[0] - y[0])).max() > 1e-4
     # sample 1 (rows 2,3) is untouched — no cross-sample leakage

@@ -88,6 +88,16 @@ def main(argv=None):
     train_ds, val_ds = build_datasets(cfg)
     runner = Runner(cfg, preset, modules, train_ds, val_dataset=val_ds,
                     run_dir=run_dir)
+    if cfg.get("validation_only"):
+        # run the validator against current (resumed or fresh) weights and
+        # exit (ref:base_runner.py:319-326 validation_only / try_run flags)
+        state = runner.init_state()
+        if runner.ckpt.latest_step() is not None:
+            state = runner.ckpt.restore(state)
+        runner.validator.validate(state.params, runner.logger,
+                                  int(state.step), run_dir)
+        logging.info("validation_only done; run dir: %s", run_dir)
+        return run_dir
     state = runner.run(resume=cfg.get("resume_from_checkpoint") is not None)
     logging.info("done at step %d; run dir: %s", int(state.step), run_dir)
     return run_dir
