@@ -82,6 +82,40 @@ def visible_mask_3d(corners: np.ndarray, lidar2camera: np.ndarray) -> np.ndarray
     return (cam[..., 2] > 0).any(axis=-1)
 
 
+def in_range_bev(boxes: np.ndarray, bev_range) -> np.ndarray:
+    """mmdet3d in_range_bev: box center (x, y) within [xmin, ymin, xmax, ymax]
+    (ObjectRangeFilterM, ref:magicdrive/dataset/pipeline.py:334-383)."""
+    b = np.asarray(boxes)
+    if b.size == 0:
+        return np.zeros((0,), bool)
+    xmin, ymin, xmax, ymax = bev_range
+    return ((b[:, 0] > xmin) & (b[:, 1] > ymin)
+            & (b[:, 0] < xmax) & (b[:, 1] < ymax))
+
+
+def limit_yaw(boxes: np.ndarray, offset: float = 0.5,
+              period: float = 2 * np.pi) -> np.ndarray:
+    """mmdet3d limit_yaw: wrap yaw into [-offset*period, (1-offset)*period)."""
+    out = np.array(boxes, copy=True)
+    if out.size:
+        out[:, 6] = out[:, 6] - np.floor(out[:, 6] / period + offset) * period
+    return out
+
+
+def object_range_filter(sample: dict, point_cloud_range) -> dict:
+    """ObjectRangeFilterM on a sample dict: BEV-range filter + yaw wrap,
+    consistently applied to boxes/labels/visibility."""
+    bev_range = [point_cloud_range[0], point_cloud_range[1],
+                 point_cloud_range[3], point_cloud_range[4]]
+    mask = in_range_bev(sample["boxes"], bev_range)
+    out = dict(sample)
+    out["boxes"] = limit_yaw(np.asarray(sample["boxes"])[mask])
+    out["labels"] = np.asarray(sample["labels"])[mask]
+    if "visibility" in out:
+        out["visibility"] = np.asarray(sample["visibility"])[mask]
+    return out
+
+
 def visible_mask_canvas(corners: np.ndarray, lidar2image: np.ndarray,
                         img_aug_matrix: np.ndarray,
                         canvas_hw: Tuple[int, int]) -> np.ndarray:

@@ -13,14 +13,15 @@ Optimizer: AdamW with constant-with-warmup LR
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct, traverse_util
 
-UNET_TRAINABLE_SUBMODULES = ("norm4", "attn4", "connector")
+UNET_TRAINABLE_SUBMODULES = ("norm4", "attn4", "connector",
+                             "norm_temp", "attn_temp", "connector_temp")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,6 +39,9 @@ class TrainConfig:
     prediction_type: str = "epsilon"
     train_with_same_t: bool = True
     train_with_same_noise: bool = False
+    # video training: batch is (B*frames_per_clip) pre-folded per-frame
+    # samples; one timestep per clip (shared across its frames)
+    frames_per_clip: Optional[int] = None
     noise_offset: float = 0.0
     drop_cond_ratio: float = 0.25
     drop_cam_num: int = 6

@@ -61,8 +61,15 @@ def make_train_step(modules, cfg: TrainConfig, schedule: NoiseSchedule = None):
         latents = rearrange(latents, "(b n) h w c -> b n h w c", n=N)
         latents = jax.lax.stop_gradient(latents)
 
-        # timesteps: one per sample, shared across views (train_with_same_t)
-        if cfg.train_with_same_t:
+        # timesteps: one per sample, shared across views (train_with_same_t);
+        # for video, one per clip shared across its frames
+        if cfg.frames_per_clip:
+            F = cfg.frames_per_clip
+            t = ddpm.sample_timesteps(k_t, B // F,
+                                      schedule.num_train_timesteps)
+            t = repeat(t, "b -> (b f)", f=F)
+            t_full = repeat(t, "b -> b n", n=N)
+        elif cfg.train_with_same_t:
             t = ddpm.sample_timesteps(k_t, B, schedule.num_train_timesteps)
             t_full = repeat(t, "b -> b n", n=N)
         else:

@@ -95,3 +95,25 @@ def test_tokenize_captions():
     ids2, _ = tokenize_captions(
         [{"location": "boston", "description": "rain"}], tok)
     assert (ids == ids2).all()
+
+
+def test_object_range_filter():
+    import numpy as np
+
+    from magicdrive_tpu.data.bbox import limit_yaw, object_range_filter
+
+    sample = {
+        "boxes": np.array([[0.0, 0.0, 0, 1, 1, 1, 7.0],
+                           [60.0, 0.0, 0, 1, 1, 1, 0.1],
+                           [-10.0, -60.0, 0, 1, 1, 1, -4.0]]),
+        "labels": np.array([0, 1, 2]),
+        "visibility": np.array([4, 3, 2]),
+    }
+    out = object_range_filter(sample, [-51.2, -51.2, -5, 51.2, 51.2, 3])
+    assert len(out["boxes"]) == 1 and out["labels"].tolist() == [0]
+    assert out["visibility"].tolist() == [4]
+    # yaw wrapped into [-pi, pi)
+    assert -np.pi <= out["boxes"][0, 6] < np.pi
+    wrapped = limit_yaw(np.array([[0, 0, 0, 1, 1, 1, 3 * np.pi]]))
+    assert abs(wrapped[0, 6] - np.pi) < 1e-9 or abs(
+        wrapped[0, 6] + np.pi) < 1e-9
