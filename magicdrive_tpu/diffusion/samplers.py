@@ -167,8 +167,12 @@ def make_unipc_coeffs(
 
 
 def make_ddim_coeffs(schedule: NoiseSchedule,
-                     num_inference_steps: int) -> DDIMCoeffs:
-    ts = schedule.inference_timesteps(num_inference_steps)
+                     num_inference_steps: int,
+                     timesteps: np.ndarray = None) -> DDIMCoeffs:
+    """``timesteps`` overrides the grid (descending ints) — e.g. diffusers'
+    "leading" spacing instead of the default linspace spacing."""
+    ts = np.asarray(timesteps) if timesteps is not None else \
+        schedule.inference_timesteps(num_inference_steps)
     K = len(ts)
     alpha, sigma = schedule.alpha_t, schedule.sigma_t
     a = np.zeros(K)

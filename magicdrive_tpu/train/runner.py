@@ -251,7 +251,18 @@ class Runner:
             resume: bool = True) -> TrainState:
         rc = self.rc
         state = state if state is not None else self.init_state()
-        if resume and self.ckpt.latest_step() is not None:
+        resume_path = self.cfg.get("resume_from_checkpoint")
+        own_ckpts = os.path.abspath(os.path.join(self.run_dir, "checkpoints"))
+        if resume and isinstance(resume_path, str) and \
+                os.path.isdir(resume_path) and \
+                os.path.abspath(resume_path) != own_ckpts:
+            # warm-start from another run's checkpoint dir
+            # (ref:base_runner.py:275-284 resume_from_checkpoint path)
+            src = CheckpointManager(resume_path)
+            state = src.restore(state)
+            log.info("resumed from external %s step %d", resume_path,
+                     int(state.step))
+        elif resume and self.ckpt.latest_step() is not None:
             state = self.ckpt.restore(state)
             log.info("resumed from step %d", int(state.step))
             if self.cfg.get("resume_reset_scheduler"):

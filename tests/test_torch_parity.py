@@ -385,3 +385,43 @@ def test_multiview_unet_parity(torch_env):
                              jnp.asarray(ctx)))
     np.testing.assert_allclose(jy.transpose(0, 3, 1, 2), ty,
                                atol=3e-4, rtol=3e-3)
+
+
+def test_ddim_parity(torch_env):
+    """DDIM coefficient tables vs the diffusers DDIMScheduler (eta=0)."""
+    torch = torch_env
+    from diffusers.schedulers.scheduling_ddim import DDIMScheduler
+
+    from magicdrive_tpu.diffusion.samplers import make_ddim_coeffs
+    from magicdrive_tpu.diffusion.schedules import sd15_schedule
+
+    num_steps = 20
+    sched = DDIMScheduler(beta_start=0.00085, beta_end=0.012,
+                          beta_schedule="scaled_linear",
+                          prediction_type="epsilon", set_alpha_to_one=True,
+                          steps_offset=0, clip_sample=False)
+    sched.set_timesteps(num_steps)
+
+    # diffusers 0.17 DDIM uses "leading" timestep spacing; build our tables
+    # on the same grid for the comparison
+    ours = make_ddim_coeffs(sd15_schedule(), num_steps,
+                            timesteps=np.asarray(sched.timesteps))
+    rs = np.random.RandomState(1)
+    w = rs.randn(4, 4).astype(np.float32) * 0.05
+
+    def eps_fn(x, t):
+        return np.tanh(np.einsum("bchw,cd->bdhw", x, w)) \
+            + 0.01 * float(t) / 1000.0
+
+    x_t = rs.randn(2, 4, 8, 8).astype(np.float32)
+    x_j = x_t.copy()
+    tx = torch.from_numpy(x_t)
+    state = ours.init_state(x_j.shape)
+    for i, t in enumerate(sched.timesteps):
+        e = eps_fn(np.asarray(tx), int(t))
+        tx = sched.step(torch.from_numpy(e), t, tx).prev_sample
+        e_j = eps_fn(x_j, int(ours.timesteps[i]))
+        x_next, state = ours.step(i, jnp.asarray(x_j), jnp.asarray(e_j),
+                                  state)
+        x_j = np.asarray(x_next)
+    np.testing.assert_allclose(x_j, tx.numpy(), atol=1e-4, rtol=1e-3)
