@@ -114,7 +114,8 @@ def preset_from_config(cfg) -> ModelPreset:
         norm_num_groups=u["norm_num_groups"],
         neighboring_view_pair=neighbors,
         neighboring_attn_type=u["neighboring_attn_type"],
-        zero_module_type=u["zero_module_type"])
+        zero_module_type=u["zero_module_type"],
+        gradient_checkpointing=bool(u.get("gradient_checkpointing", False)))
     cn_c = mc["controlnet"]
     be = mc["bbox_embedder_param"]
     cn = BEVControlNetConfig(

@@ -86,14 +86,18 @@ class BEVControlNet(nn.Module):
         self.time_embedding = TimestepEmbedding(
             ucfg.block_out_channels[0] * 4, dtype=self.dtype)
         self.conv_in = conv(ucfg.block_out_channels[0], dtype=self.dtype)
+        down_cls, mid_cls = CrossAttnDownBlock, UNetMidBlock
+        if ucfg.gradient_checkpointing:
+            down_cls, mid_cls = nn.remat(CrossAttnDownBlock), \
+                nn.remat(UNetMidBlock)
         self.down_blocks = [
-            CrossAttnDownBlock(
+            down_cls(
                 ucfg, out_ch, has_attn=ucfg.down_block_has_attn[i],
                 add_downsample=i != len(ucfg.block_out_channels) - 1,
                 dtype=self.dtype, name=f"down_blocks_{i}")
             for i, out_ch in enumerate(ucfg.block_out_channels)
         ]
-        self.mid_block = UNetMidBlock(ucfg, dtype=self.dtype)
+        self.mid_block = mid_cls(ucfg, dtype=self.dtype)
         # zero-init 1x1 output convs, one per residual + one for mid
         # (ref:unet_addon_rawbox.py:219-272)
         n_res = 1 + len(ucfg.block_out_channels) * ucfg.layers_per_block + (

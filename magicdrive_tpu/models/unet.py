@@ -49,6 +49,10 @@ class UNetConfig:
     zero_module_type: str = "zero_linear"
     # video extension: attention over this many frames per transformer block
     temporal_frames: Optional[int] = None
+    # rematerialize down/mid/up blocks in the backward pass (the reference's
+    # per-block gradient checkpointing,
+    # ref:unet_2d_condition_multiview.py:273-292) — trades FLOPs for HBM
+    gradient_checkpointing: bool = False
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
@@ -91,17 +95,25 @@ class CrossAttnDownBlock(nn.Module):
 
 
 class CrossAttnUpBlock(nn.Module):
+    """Up block consuming its skip connections as an explicit tuple (in
+    consumption order) — pure in its array arguments so it can be wrapped in
+    nn.remat for gradient checkpointing."""
+
     cfg: UNetConfig
     out_channels: int
     num_layers: int
     has_attn: bool
     add_upsample: bool
+    # upsample target spatial size (handles odd latent dims, e.g. 7x13 at
+    # 224x400 — diffusers forward_upsample_size); None -> 2x
+    out_hw: Optional[Tuple[int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, skips, temb, context):
+        assert len(skips) == self.num_layers
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = jnp.concatenate([x, skips[i]], axis=-1)
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
                               groups=self.cfg.norm_num_groups,
                               name=f"resnets_{i}")(x, temb)
@@ -119,11 +131,8 @@ class CrossAttnUpBlock(nn.Module):
                     name=f"attentions_{i}",
                 )(x, context)
         if self.add_upsample:
-            # upsample directly to the next skip's spatial size (handles odd
-            # latent dims, e.g. 7x13 at 224x400 — diffusers forward_upsample_size)
-            out_hw = skips[-1].shape[1:3] if skips else None
             x = Upsample2D(self.out_channels, dtype=self.dtype,
-                           name="upsamplers_0")(x, out_hw)
+                           name="upsamplers_0")(x, self.out_hw)
         return x
 
 
@@ -191,10 +200,17 @@ class UNet2DConditionModel(nn.Module):
 
         x = conv(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(sample)
 
+        down_cls, up_cls, mid_cls = CrossAttnDownBlock, CrossAttnUpBlock, \
+            UNetMidBlock
+        if cfg.gradient_checkpointing:
+            down_cls = nn.remat(CrossAttnDownBlock)
+            up_cls = nn.remat(CrossAttnUpBlock)
+            mid_cls = nn.remat(UNetMidBlock)
+
         skips = [x]
         for i, out_ch in enumerate(cfg.block_out_channels):
             is_final = i == len(cfg.block_out_channels) - 1
-            x, res = CrossAttnDownBlock(
+            x, res = down_cls(
                 cfg, out_ch, has_attn=cfg.down_block_has_attn[i],
                 add_downsample=not is_final, dtype=self.dtype,
                 name=f"down_blocks_{i}",
@@ -207,18 +223,22 @@ class UNet2DConditionModel(nn.Module):
             skips = [s + r.astype(self.dtype)
                      for s, r in zip(skips, down_block_additional_residuals)]
 
-        x = UNetMidBlock(cfg, dtype=self.dtype, name="mid_block")(x, temb, context)
+        x = mid_cls(cfg, dtype=self.dtype, name="mid_block")(x, temb, context)
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual.astype(self.dtype)
 
         rev_channels = list(reversed(cfg.block_out_channels))
+        n_up = cfg.layers_per_block + 1
         for i, out_ch in enumerate(rev_channels):
             is_final = i == len(rev_channels) - 1
-            x = CrossAttnUpBlock(
-                cfg, out_ch, num_layers=cfg.layers_per_block + 1,
+            block_skips = tuple(reversed(skips[-n_up:]))  # consumption order
+            skips = skips[:-n_up]
+            out_hw = skips[-1].shape[1:3] if skips else None
+            x = up_cls(
+                cfg, out_ch, num_layers=n_up,
                 has_attn=cfg.up_block_has_attn[i], add_upsample=not is_final,
-                dtype=self.dtype, name=f"up_blocks_{i}",
-            )(x, skips, temb, context)
+                out_hw=out_hw, dtype=self.dtype, name=f"up_blocks_{i}",
+            )(x, block_skips, temb, context)
         assert not skips
 
         x = GroupNorm(cfg.norm_num_groups, 1e-5, dtype=self.dtype,

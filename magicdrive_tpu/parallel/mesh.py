@@ -31,8 +31,9 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     n = len(devices)
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
-    assert int(np.prod(shape)) == n, (shape, n)
-    dev_array = np.asarray(devices).reshape(shape)
+    need = int(np.prod(shape))
+    assert need <= n, f"mesh {shape} needs {need} devices, have {n}"
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, axis_names)
 
 

@@ -114,13 +114,13 @@ def test_vae_roundtrip_shapes():
 
 def test_clip_text_shapes():
     cfg = CLIPTextConfig(vocab_size=100, hidden_size=16, num_layers=2,
-                         num_heads=2, intermediate_size=32)
+                         num_heads=2, intermediate_size=32, eos_token_id=99)
     model = CLIPTextModel(cfg)
     ids = jnp.asarray([[1, 5, 99, 0, 0]], jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), ids)
     hidden, pooled = model.apply(variables, ids)
     assert hidden.shape == (1, 5, 16)
     assert pooled.shape == (1, 16)
-    # pooled picks the highest-id (EOS) position
+    # pooled picks the first EOS position (transformers CLIP pooler)
     np.testing.assert_allclose(np.asarray(pooled), np.asarray(hidden[0, 2])[None],
                                atol=1e-6)

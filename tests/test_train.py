@@ -121,3 +121,38 @@ def test_reset_lr_schedule():
     np.testing.assert_array_equal(
         np.asarray(mu(st.opt_state)["controlnet/params/w"]),
         np.asarray(mu(st2.opt_state)["controlnet/params/w"]))
+
+
+def test_gradient_checkpointing_identity():
+    """remat'd UNet: same param tree, same outputs and grads (within float
+    reassociation noise) as the plain UNet (the reference's per-block
+    gradient checkpointing, ref:unet_2d_condition_multiview.py:273-292)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from magicdrive_tpu.models.unet import (
+        NUSCENES_NEIGHBORS, UNet2DConditionModel, UNetConfig,
+    )
+
+    cfg = UNetConfig(block_out_channels=(8, 16, 16, 16),
+                     num_attention_heads=2, cross_attention_dim=12,
+                     norm_num_groups=4,
+                     neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cfg_r = dataclasses.replace(cfg, gradient_checkpointing=True)
+    m, mr = UNet2DConditionModel(cfg), UNet2DConditionModel(cfg_r)
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 16, 16, 4))
+    t = jnp.zeros((6,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (6, 9, 12))
+    v = m.init(jax.random.PRNGKey(2), x, t, ctx)
+    vr = mr.init(jax.random.PRNGKey(2), x, t, ctx)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vr)
+    np.testing.assert_allclose(np.asarray(m.apply(v, x, t, ctx)),
+                               np.asarray(mr.apply(v, x, t, ctx)), atol=1e-5)
+    g = jax.grad(lambda p: (m.apply(p, x, t, ctx) ** 2).mean())(v)
+    gr = jax.grad(lambda p: (mr.apply(p, x, t, ctx) ** 2).mean())(v)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g, gr)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5
