@@ -149,9 +149,14 @@ def preset_from_config(cfg) -> ModelPreset:
         latent_height=H // 8, latent_width=W // 8,
         n_cam=len(neighbors))
     map_c, map_h, map_w = cn_c["map_size"]
+    vae_cfg = VAEConfig(**{k: tuple(v) if isinstance(v, list) else v
+                           for k, v in mc["vae"].items()}) \
+        if mc.get("vae") else VAEConfig()
+    clip_cfg = CLIPTextConfig(**mc["clip"]) if mc.get("clip") \
+        else CLIPTextConfig()
     return ModelPreset(
         name=f"{mc['name']}-{H}x{W}", unet=unet, controlnet=cn,
-        vae=VAEConfig(), clip=CLIPTextConfig(), pipeline=pipeline,
+        vae=vae_cfg, clip=clip_cfg, pipeline=pipeline,
         image_size=(H, W), map_hw=(map_h, map_w), map_channels=map_c,
         bbox_max_len=rc["bbox_max_length"])
 

@@ -234,7 +234,10 @@ class Runner:
             self.cfg.get("seed", 42))
         if params is None:
             params = init_params(self.preset, self.modules, key)
-        state = create_train_state(params, self.tcfg)
+        frozen_dtype = jnp.bfloat16 \
+            if self.rc.get("mixed_precision") == "bf16" else None
+        state = create_train_state(params, self.tcfg,
+                                   frozen_dtype=frozen_dtype)
         return jax.device_put(state, replicated(self.mesh))
 
     def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:

@@ -135,8 +135,18 @@ def reset_lr_schedule(state: "TrainState") -> "TrainState":
     return state.replace(opt_state=walk(state.opt_state))
 
 
-def create_train_state(params: Dict[str, Any], cfg: TrainConfig) -> TrainState:
+def create_train_state(params: Dict[str, Any], cfg: TrainConfig,
+                       frozen_dtype=None) -> TrainState:
+    """``frozen_dtype=jnp.bfloat16`` stores the frozen partition (SD UNet /
+    VAE / CLIP) in bf16 — the reference's frozen-fp16 policy
+    (ref:multiview_runner.py:191-217) — halving their HBM footprint; compute
+    already runs in the module dtype."""
     trainable, frozen = split_params(params)
+    if frozen_dtype is not None:
+        frozen = {k: (jnp.asarray(v, frozen_dtype)
+                      if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
+                      else v)
+                  for k, v in frozen.items()}
     tx = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32), trainable=trainable, frozen=frozen,
