@@ -232,12 +232,17 @@ class Runner:
 
         key = key if key is not None else jax.random.PRNGKey(
             self.cfg.get("seed", 42))
-        if params is None:
-            params = init_params(self.preset, self.modules, key)
         frozen_dtype = jnp.bfloat16 \
             if self.rc.get("mixed_precision") == "bf16" else None
-        state = create_train_state(params, self.tcfg,
-                                   frozen_dtype=frozen_dtype)
+        # build on host so the accelerator never holds both the fp32
+        # originals and the state copies at once
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            if params is None:
+                params = init_params(self.preset, self.modules, key)
+            state = create_train_state(params, self.tcfg,
+                                       frozen_dtype=frozen_dtype)
+        del params
         return jax.device_put(state, replicated(self.mesh))
 
     def shard_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
