@@ -198,10 +198,12 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_size: Tuple[int, int]) -> jnp.ndarra
 
     def pool_axis(arr, in_len, out_len, axis):
         # torch: start = floor(i*in/out), end = ceil((i+1)*in/out)
+        import jax
         import numpy as np
         starts = np.floor(np.arange(out_len) * in_len / out_len).astype(int)
         ends = np.ceil((np.arange(out_len) + 1) * in_len / out_len).astype(int)
-        pieces = [arr.take(range(s, e), axis=axis).mean(axis=axis, keepdims=True)
+        pieces = [jax.lax.slice_in_dim(arr, int(s), int(e), axis=axis)
+                  .mean(axis=axis, keepdims=True)
                   for s, e in zip(starts, ends)]
         return jnp.concatenate(pieces, axis=axis)
 

@@ -59,10 +59,17 @@ def test_train_loop_checkpoint_resume(tmp_path, tiny_setup):
 
 
 def test_serialization_roundtrip(tmp_path):
+    import ml_dtypes
+
     tree = {"a": {"b": np.arange(6).reshape(2, 3).astype(np.float32)},
-            "c": np.ones((4,), np.int32)}
+            "c": np.ones((4,), np.int32),
+            "d": np.full((3,), 1.5, ml_dtypes.bfloat16)}
     save_params(tree, str(tmp_path / "w"))
     back = load_params(str(tmp_path / "w"))
     np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
     np.testing.assert_array_equal(back["c"], tree["c"])
+    # bf16 leaves survive the npz round trip with their dtype
+    assert back["d"].dtype == tree["d"].dtype
+    np.testing.assert_array_equal(back["d"].astype(np.float32),
+                                  tree["d"].astype(np.float32))
     assert os.path.isfile(tmp_path / "w" / "manifest.json")
