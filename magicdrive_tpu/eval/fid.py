@@ -134,7 +134,6 @@ def fid_between_paths(path_real: str, path_gen: str,
 
 
 def pair_real_generated(index, gen_root: str,
-                        view_order: Sequence[str],
                         subsample_ratio: float = 1.0,
                         gen_suffixes: Sequence[str] = ("_gen0",),
                         ) -> Tuple[List[str], List[str]]:

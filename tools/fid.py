@@ -56,7 +56,7 @@ def main(argv=None):
 
         index = NuScenesIndex(args.dataroot, args.version)
         real_files, gen_files = pair_real_generated(
-            index, args.gen_root, view_order=(), subsample_ratio=args.subsample)
+            index, args.gen_root, subsample_ratio=args.subsample)
         print(f"paired {len(real_files)} real/generated images")
         ext = ActivationExtractor(args.weights, args.batch_size)
         mu1, s1 = activation_statistics(
