@@ -14,7 +14,7 @@ Cache layout per nuScenes sample token (ref:prepare_map_aux.py:25-29):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

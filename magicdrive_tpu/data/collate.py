@@ -12,7 +12,7 @@ Layouts are TPU-native: images NHWC (B, N, H, W, 3), BEV map (B, H, W, C).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

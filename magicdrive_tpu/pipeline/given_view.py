@@ -15,7 +15,7 @@ Drives the "generate the other 5 views given 1" demo
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

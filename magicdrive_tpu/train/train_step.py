@@ -18,7 +18,6 @@ from einops import rearrange, repeat
 
 from magicdrive_tpu.diffusion import ddpm
 from magicdrive_tpu.diffusion.schedules import NoiseSchedule
-from magicdrive_tpu.models.controlnet import BEVControlNet
 from magicdrive_tpu.models.vae import AutoencoderKL
 from .state import TrainState, TrainConfig, merge_params
 
