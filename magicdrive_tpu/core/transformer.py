@@ -154,14 +154,16 @@ class BasicTransformerBlock(nn.Module):
 
         if self.neighboring_attn_type == "add":
             # One attention per neighbor, summed (ref:blocks.py:112-121,213-217).
-            # Batched: fold the neighbor axis into batch for one big call.
-            q = jnp.broadcast_to(hv[:, :, None], (*hv.shape[:2], n_nb, *hv.shape[2:]))
-            kv = jnp.take(hv, neighbors.reshape(-1), axis=1)  # b (n k) l c
-            kv = rearrange(kv, "b (n k) l c -> (b n k) l c", k=n_nb)
-            q = rearrange(q, "b n k l c -> (b n k) l c")
-            out = attn4(q, kv)
-            out = rearrange(out, "(b n k) l c -> b n k l c", n=n_cam, k=n_nb)
-            out = out.sum(axis=2)
+            # Sequential over the (tiny) neighbor axis: queries are shared, so
+            # no q/kv duplication — halves peak activation memory vs folding
+            # neighbors into batch (decisive for the 16-frame video model).
+            q = rearrange(hv, "b n l c -> (b n) l c")
+            out = None
+            for nb in range(n_nb):
+                kv = jnp.take(hv, neighbors[:, nb], axis=1)  # b n l c
+                o = attn4(q, rearrange(kv, "b n l c -> (b n) l c"))
+                out = o if out is None else out + o
+            out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "concat":
             kv = jnp.take(hv, neighbors.reshape(-1), axis=1)
             kv = rearrange(kv, "b (n k) l c -> (b n) (k l) c", k=n_nb)

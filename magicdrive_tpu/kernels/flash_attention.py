@@ -55,6 +55,7 @@ def _interpret_default() -> bool:
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, scale: float, kv_len: int,
                 block_k: int):
+    """lse_ref is None in the inference-only variant (no backward)."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -91,21 +92,38 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         # guard fully-masked (padded-q) rows
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_safe)  # (bq, 1)
+        if lse_ref is not None:
+            lse_ref[0] = m_scr[:] + jnp.log(l_safe)  # (bq, 1)
 
 
-def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret):
-    """q: (BH, Lq, D) padded; k/v: (BH, Lk, D) padded; kv_len = true Lk."""
+def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
+               with_lse: bool = True):
+    """q: (BH, Lq, D) padded; k/v: (BH, Lk, D) padded; kv_len = true Lk.
+
+    ``with_lse=False`` (inference) omits the logsumexp output entirely — its
+    (BH, Lq, 1) layout pads the unit lane dim to 128 in HBM, a 128x blowup
+    that matters at video batch sizes; it is only needed for the backward.
+    """
     BH, Lq, D = q.shape
     Lk = k.shape[1]
     nq, nk = Lq // block_q, Lk // block_k
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
-                               block_k=block_k)
-    out_shape = (
-        jax.ShapeDtypeStruct((BH, Lq, D), q.dtype),
-        jax.ShapeDtypeStruct((BH, Lq, 1), jnp.float32),
-    )
-    o, lse = pl.pallas_call(
+
+    def kernel_no_lse(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+        _fwd_kernel(q_ref, k_ref, v_ref, o_ref, None, m_scr, l_scr, acc_scr,
+                    scale=scale, kv_len=kv_len, block_k=block_k)
+
+    out_shape = [jax.ShapeDtypeStruct((BH, Lq, D), q.dtype)]
+    out_specs = [pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0))]
+    if with_lse:
+        kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+                                   block_k=block_k)
+        out_shape.append(jax.ShapeDtypeStruct((BH, Lq, 1), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)))
+    else:
+        kernel = kernel_no_lse
+
+    out = pl.pallas_call(
         kernel,
         grid=(BH, nq, nk),
         in_specs=[
@@ -113,16 +131,13 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret):
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
-        ),
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
-        out_shape=out_shape,
+        out_shape=tuple(out_shape) if with_lse else out_shape[0],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * BH * Lq * Lk * D,
@@ -130,7 +145,7 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret):
             transcendentals=BH * Lq * Lk,
         ),
     )(q, k, v)
-    return o, lse
+    return out if with_lse else (out, None)
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +277,8 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_core(q, k, v, scale, kv_len, block_q, block_k, interpret):
-    o, _ = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret)
+    o, _ = _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
+                      with_lse=False)
     return o
 
 
