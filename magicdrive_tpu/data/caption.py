@@ -35,19 +35,21 @@ class HashTokenizer:
 
 
 def load_clip_tokenizer(path: Optional[str] = None):
-    """Load the real CLIP tokenizer if vocab files are available locally."""
+    """Load the real CLIP BPE tokenizer from a vocab directory.
+
+    ``path`` is a directory containing ``vocab.json`` + ``merges.txt`` (the
+    SD-v1.5 tokenizer layout). Uses the native BPE implementation
+    (:mod:`magicdrive_tpu.data.bpe`); no transformers dependency. ``None``
+    returns the offline stand-in.
+    """
     if path is None:
         return HashTokenizer()
-    from transformers import CLIPTokenizer
+    import os
 
-    tok = CLIPTokenizer.from_pretrained(path)
+    from .bpe import CLIPBPETokenizer
 
-    def encode(texts: Sequence[str]) -> np.ndarray:
-        enc = tok(list(texts), max_length=MAX_LENGTH, padding="max_length",
-                  truncation=True, return_tensors="np")
-        return enc.input_ids.astype(np.int32)
-
-    return encode
+    return CLIPBPETokenizer.from_files(
+        os.path.join(path, "vocab.json"), os.path.join(path, "merges.txt"))
 
 
 def format_caption(template: str, metas: dict) -> str:

@@ -388,6 +388,12 @@ class NuScenesDataset:
     Fuses the reference's mm-pipeline: image load + ImageAug3D + normalize,
     ObjectNameFilterM (drop label -1), BEV rasterization (or h5 cache),
     ReorderMultiViewImagesM (converter order -> view_order), metas assembly.
+
+    ``transforms_3d`` run on the sample dict before BEV rasterization (the
+    reference pipeline order for GlobalRotScaleTrans,
+    ref:configs/dataset/Nuscenes.yaml:112-121); ``transforms`` run after it
+    (RandomFlip3DwithViews, which flips the finished map,
+    ref:configs/dataset/Nuscenes.yaml:130-132).
     """
 
     def __init__(self, index: NuScenesIndex,
@@ -397,6 +403,8 @@ class NuScenesDataset:
                  with_images: bool = True,
                  force_all_boxes: bool = True,
                  sample_indices: Optional[Sequence[int]] = None,
+                 transforms_3d: Sequence = (),
+                 transforms: Sequence = (),
                  seed: int = 0):
         self.index = index
         self.rasterizer = rasterizer
@@ -407,6 +415,8 @@ class NuScenesDataset:
         self.order = [list(index.camera_order).index(c) for c in view_order]
         self.ids = list(sample_indices) if sample_indices is not None else \
             list(range(len(index.infos)))
+        self.transforms_3d = list(transforms_3d)
+        self.transforms = list(transforms)
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -451,12 +461,18 @@ class NuScenesDataset:
         else:
             sample["img_aug_matrix"] = np.stack([np.eye(4)] * len(o))
 
-        sample["bev_map"] = self._bev_map(info, boxes, labels, vis)
+        for t in self.transforms_3d:
+            sample = t(sample)
+        sample["bev_map"] = self._bev_map(info, sample)
+        for t in self.transforms:
+            sample = t(sample)
         return sample
 
-    def _bev_map(self, info: FrameInfo, boxes, labels, vis) -> np.ndarray:
+    def _bev_map(self, info: FrameInfo, sample: dict) -> np.ndarray:
         """(H, W, C) float32 BEV map, channel-last."""
-        if self.cache is not None:
+        aug = np.asarray(sample.get("lidar_aug_matrix", np.eye(4)))
+        aug_is_identity = np.allclose(aug, np.eye(4))
+        if self.cache is not None and aug_is_identity:
             m = self.cache.get(info.token)
             if m is not None:
                 return np.ascontiguousarray(
@@ -466,10 +482,16 @@ class NuScenesDataset:
                 "no BEV source: provide a rasterizer or a cache")
         from .bbox import corners_from_boxes
 
+        boxes, labels = sample["boxes"], sample["labels"]
+        vis = sample["visibility"]
+        # static layers land in the augmented frame:
+        # lidar2global @ inv(lidar_aug_matrix) (ref:pipeline.py:249-253)
+        lidar2global = info.lidar2global if aug_is_identity else \
+            info.lidar2global @ np.linalg.inv(aug)
         corners = corners_from_boxes(boxes) if len(boxes) else \
             np.zeros((0, 8, 3))
         out = self.rasterizer(
-            info.location, info.lidar2global, corners=corners, labels=labels,
+            info.location, lidar2global, corners=corners, labels=labels,
             box_heights=boxes[:, 5] if len(boxes) else np.zeros((0,)),
             visibility=vis.astype(np.float32))
         masks = out["gt_masks_bev"].astype(np.float32)

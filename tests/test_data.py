@@ -117,3 +117,55 @@ def test_object_range_filter():
     wrapped = limit_yaw(np.array([[0, 0, 0, 1, 1, 1, 3 * np.pi]]))
     assert abs(wrapped[0, 6] - np.pi) < 1e-9 or abs(
         wrapped[0, 6] + np.pi) < 1e-9
+
+
+def _make_clip_vocab(tmp_path):
+    """Synthetic vocab.json + merges.txt in the CLIP file layout."""
+    import json
+
+    from magicdrive_tpu.data.bpe import bytes_to_unicode
+
+    base = list(bytes_to_unicode().values())
+    vocab = []
+    vocab.extend(base)                       # bare symbols
+    vocab.extend(t + "</w>" for t in base)   # end-of-word symbols
+    merges = [
+        "d r", "dr i", "dri v", "driv i", "drivi n", "drivin g</w>",
+        "s c", "sc e", "sce n", "scen e</w>",
+        "a</w> t</w>",  # never applicable (pairs are intra-word) — rank noise
+        "i n</w>", "r a", "ra in</w>",
+    ]
+    vocab.extend(m.replace(" ", "") for m in merges)
+    vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+    enc = {t: i for i, t in enumerate(vocab)}
+    (tmp_path / "vocab.json").write_text(json.dumps(enc))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(merges) + "\n")
+    return tmp_path
+
+
+def test_clip_bpe_matches_transformers(tmp_path):
+    """Native BPE == transformers CLIPTokenizer on the same vocab files."""
+    import transformers
+
+    from magicdrive_tpu.data.caption import load_clip_tokenizer
+
+    d = _make_clip_vocab(tmp_path)
+    ours = load_clip_tokenizer(str(d))
+    theirs = transformers.CLIPTokenizer(
+        str(d / "vocab.json"), str(d / "merges.txt"))
+
+    texts = [
+        "A driving scene image at boston-seaport. Rain, driving in rain.",
+        "",
+        "Scene with  MIXED   Case & punctuation!!! 12 3",
+        "driving " * 60,  # > 77 tokens: truncation framing
+    ]
+    got = ours(texts)
+    want = theirs(texts, max_length=77, padding="max_length",
+                  truncation=True, return_tensors="np").input_ids
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+    # merges actually fired (multi-char tokens present)
+    assert "driving</w>" in ours.tokenize("driving")
+    assert ours.tokenize("rain") == ["rain</w>"]  # ra + in</w> then merged
+    assert ours.tokenize("ruin") == ["r", "u", "in</w>"]

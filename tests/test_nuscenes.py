@@ -279,3 +279,82 @@ def test_torch_fixture_roundtrip(tmp_path):
     batch = collate_fn([s], CollateConfig(bbox_max_len=8,
                                           canvas_hw=(224, 400)))
     assert batch["camera_param"].shape == (1, 6, 3, 7)
+
+
+def test_rot_scale_trans_math():
+    from magicdrive_tpu.data.rot_scale_trans import (
+        GlobalRotScaleTrans, apply_rot_scale_trans, rot_scale_trans_matrix,
+        transform_boxes,
+    )
+
+    angle, scale, trans = np.pi / 2, 2.0, np.array([1.0, -2.0, 0.5])
+    boxes = np.array([[3.0, 0.0, 1.0, 2.0, 4.0, 1.5, 0.1, 1.0, 0.0]])
+    out = transform_boxes(boxes, angle, scale, trans)
+    # center: Rz(90deg) @ (3,0,1) * 2 + t = (0,6,2) + t
+    np.testing.assert_allclose(out[0, :3], [1.0, 4.0, 2.5], atol=1e-9)
+    np.testing.assert_allclose(out[0, 3:6], [4.0, 8.0, 3.0])
+    assert np.isclose(out[0, 6], 0.1 + angle)
+    # velocity rotates & scales but does not translate
+    np.testing.assert_allclose(out[0, 7:9], [0.0, 2.0], atol=1e-9)
+    # matrix agrees with the box-center transform
+    m = rot_scale_trans_matrix(angle, scale, trans)
+    np.testing.assert_allclose((m @ np.array([3.0, 0.0, 1.0, 1.0]))[:3],
+                               out[0, :3], atol=1e-9)
+
+    # sample-dict application keeps camera consistency
+    c2l = np.stack([np.eye(4)] * 2)
+    c2l[:, :3, 3] = [[1, 0, 1.5], [0, -1, 1.5]]
+    K = np.stack([np.eye(4)] * 2)
+    K[:, 0, 0] = K[:, 1, 1] = 500.0
+    s = apply_rot_scale_trans(
+        {"boxes": boxes, "camera2lidar": c2l, "camera_intrinsics": K},
+        angle, scale, trans)
+    np.testing.assert_allclose(s["lidar_aug_matrix"], m)
+    np.testing.assert_allclose(s["camera2lidar"], m[None] @ c2l)
+    np.testing.assert_allclose(s["lidar2image"],
+                               K @ np.linalg.inv(s["camera2lidar"]))
+    # box center in camera frame is invariant under the augmentation
+    before = np.linalg.inv(c2l[0]) @ np.array([3.0, 0.0, 1.0, 1.0])
+    after = np.linalg.inv(s["camera2lidar"][0]) @ np.append(s["boxes"][0, :3], 1.0)
+    np.testing.assert_allclose(after[:3], before[:3], atol=1e-9)
+
+    # identity knobs (the released configs) are a no-op passthrough
+    op = GlobalRotScaleTrans()
+    assert op.is_identity
+    same = {"boxes": boxes}
+    assert op(same) is same
+
+
+def test_rot_scale_trans_dataset(mini_nuscenes):
+    from magicdrive_tpu.data.rot_scale_trans import GlobalRotScaleTrans
+
+    root, version = mini_nuscenes
+    idx = NuScenesIndex(root, version)
+    ras = BEVRasterizer(
+        root, object_classes=("car", "truck", "construction_vehicle", "bus",
+                              "trailer", "barrier", "motorcycle", "bicycle",
+                              "pedestrian", "traffic_cone"),
+        aux_data=("visibility", "center_offset", "center_ohw", "height"))
+    op = GlobalRotScaleTrans(rot_lim=(np.pi / 2, np.pi / 2),
+                             rng=np.random.default_rng(0))
+    ds0 = NuScenesDataset(idx, rasterizer=ras, with_images=False)
+    ds1 = NuScenesDataset(idx, rasterizer=ras, with_images=False,
+                          transforms_3d=[op])
+    s0, s1 = ds0[0], ds1[0]
+    assert "lidar_aug_matrix" not in s0
+    # boxes rotated by 90 deg; yaw shifted
+    np.testing.assert_allclose(s1["boxes"][:, 6], s0["boxes"][:, 6] + np.pi / 2)
+    np.testing.assert_allclose(
+        s1["boxes"][:, 0], -s0["boxes"][:, 1], atol=1e-9)
+    # camera consistency preserved
+    np.testing.assert_allclose(
+        s1["lidar2image"],
+        s1["camera_intrinsics"] @ s1["lidar2camera"], atol=1e-6)
+    # BEV map re-rasterized in the augmented frame: same drivable-area mass
+    # (the patch only rotated), but different content placement
+    a0, a1 = s0["bev_map"][..., 0], s1["bev_map"][..., 0]
+    assert abs(a0.sum() - a1.sum()) / max(a0.sum(), 1) < 0.2
+    # the full map (divider lines, dynamic boxes) moves under the rotation
+    assert np.abs(s0["bev_map"] - s1["bev_map"]).sum() > 0
+    # dynamic car channel still rendered (box moved with the frame)
+    assert s1["bev_map"][..., 8].sum() > 0
