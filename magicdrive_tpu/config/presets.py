@@ -114,6 +114,7 @@ def preset_from_config(cfg) -> ModelPreset:
         norm_num_groups=u["norm_num_groups"],
         neighboring_view_pair=neighbors,
         neighboring_attn_type=u["neighboring_attn_type"],
+        neighbor_batched=bool(u.get("neighbor_batched", False)),
         zero_module_type=u["zero_module_type"],
         gradient_checkpointing=bool(u.get("gradient_checkpointing", False)))
     cn_c = mc["controlnet"]

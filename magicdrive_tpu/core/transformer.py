@@ -86,6 +86,10 @@ class BasicTransformerBlock(nn.Module):
     # cross-view options
     neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
     neighboring_attn_type: str = "add"   # add | concat | self
+    # "add" mode layout: batch the k neighbor attentions as one call (fastest
+    # for the image models) or run them sequentially (halves peak activation
+    # memory — required for the 16-frame video model). Numerics identical.
+    neighbor_batched: bool = False
     zero_module_type: str = "zero_linear"  # zero_linear | gated | none
     # temporal (video) option: attention over the frame axis, injected with
     # the same zero-init connector pattern as the cross-view block
@@ -154,15 +158,24 @@ class BasicTransformerBlock(nn.Module):
 
         if self.neighboring_attn_type == "add":
             # One attention per neighbor, summed (ref:blocks.py:112-121,213-217).
-            # Sequential over the (tiny) neighbor axis: queries are shared, so
-            # no q/kv duplication — halves peak activation memory vs folding
-            # neighbors into batch (decisive for the 16-frame video model).
             q = rearrange(hv, "b n l c -> (b n) l c")
-            out = None
-            for nb in range(n_nb):
-                kv = jnp.take(hv, neighbors[:, nb], axis=1)  # b n l c
-                o = attn4(q, rearrange(kv, "b n l c -> (b n) l c"))
-                out = o if out is None else out + o
+            if self.neighbor_batched:
+                # Fold the k neighbors into a leading batch axis: ONE
+                # attention call (fewer, larger MXU launches; q is
+                # broadcast, k/v gathered per neighbor), then sum.
+                kv = jnp.take(hv, neighbors.T.reshape(-1), axis=1)  # b (k n) l c
+                kv = rearrange(kv, "b (k n) l c -> k (b n) l c", k=n_nb)
+                o = attn4(jnp.broadcast_to(q[None], kv.shape), kv)
+                out = o.sum(axis=0)
+            else:
+                # Sequential over the (tiny) neighbor axis: queries are
+                # shared, so no q/kv duplication — halves peak activation
+                # memory (decisive for the 16-frame video model).
+                out = None
+                for nb in range(n_nb):
+                    kv = jnp.take(hv, neighbors[:, nb], axis=1)  # b n l c
+                    o = attn4(q, rearrange(kv, "b n l c -> (b n) l c"))
+                    out = o if out is None else out + o
             out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "concat":
             kv = jnp.take(hv, neighbors.reshape(-1), axis=1)
@@ -200,6 +213,7 @@ class Transformer2DModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
     neighboring_attn_type: str = "add"
+    neighbor_batched: bool = False
     zero_module_type: str = "zero_linear"
     temporal_frames: Optional[int] = None
 
@@ -219,6 +233,7 @@ class Transformer2DModel(nn.Module):
                 cross_attention_dim=self.cross_attention_dim, dtype=self.dtype,
                 neighboring_view_pair=self.neighboring_view_pair,
                 neighboring_attn_type=self.neighboring_attn_type,
+                neighbor_batched=self.neighbor_batched,
                 zero_module_type=self.zero_module_type,
                 temporal_frames=self.temporal_frames,
                 name=f"transformer_blocks_{i}",

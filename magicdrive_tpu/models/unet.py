@@ -46,6 +46,7 @@ class UNetConfig:
     # multiview options (None -> stock SD UNet)
     neighboring_view_pair: Optional[Tuple[Tuple[int, int], ...]] = None
     neighboring_attn_type: str = "add"
+    neighbor_batched: bool = False
     zero_module_type: str = "zero_linear"
     # video extension: attention over this many frames per transformer block
     temporal_frames: Optional[int] = None
@@ -82,6 +83,7 @@ class CrossAttnDownBlock(nn.Module):
                     dtype=self.dtype,
                     neighboring_view_pair=self.cfg.neighboring_view_pair,
                     neighboring_attn_type=self.cfg.neighboring_attn_type,
+                    neighbor_batched=self.cfg.neighbor_batched,
                     zero_module_type=self.cfg.zero_module_type,
                     temporal_frames=self.cfg.temporal_frames,
                     name=f"attentions_{i}",
@@ -126,6 +128,7 @@ class CrossAttnUpBlock(nn.Module):
                     dtype=self.dtype,
                     neighboring_view_pair=self.cfg.neighboring_view_pair,
                     neighboring_attn_type=self.cfg.neighboring_attn_type,
+                    neighbor_batched=self.cfg.neighbor_batched,
                     zero_module_type=self.cfg.zero_module_type,
                     temporal_frames=self.cfg.temporal_frames,
                     name=f"attentions_{i}",

@@ -104,3 +104,24 @@ def test_transformer2d_shapes():
     params = model.init(jax.random.PRNGKey(0), x, ctx)["params"]
     out = model.apply({"params": params}, x, ctx)
     assert out.shape == x.shape
+
+
+def test_neighbor_batched_matches_sequential():
+    """``neighbor_batched=True`` (one attention call over stacked neighbors)
+    must produce the same output as the sequential two-call path — same
+    params, same math, different launch layout."""
+    dim, heads, d_head, L, B = 16, 2, 8, 6, 2
+    x = jax.random.normal(jax.random.PRNGKey(0), (B * N_CAM, L, dim))
+    kw = dict(cross_attention_dim=None,
+              neighboring_view_pair=NUSCENES_NEIGHBORS,
+              neighboring_attn_type="add", zero_module_type="gated")
+    seq = BasicTransformerBlock(dim, heads, d_head, neighbor_batched=False, **kw)
+    bat = BasicTransformerBlock(dim, heads, d_head, neighbor_batched=True, **kw)
+    params = seq.init(jax.random.PRNGKey(2), x)
+    # force a non-zero cross-view contribution through the gated connector
+    params = jax.tree.map(
+        lambda p: jnp.full_like(p, 0.5) if p.ndim == 1 and p.shape == (dim,)
+        else p, params)
+    a = seq.apply(params, x)
+    b = bat.apply(params, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
