@@ -73,49 +73,84 @@ class BEVCache:
         self.f.close()
 
 
+_BUILD_RAS = None  # set before forking worker processes (build_cache)
+
+
+def _raster_encode_one(info):
+    """Rasterize + encode one frame (runs in a forked worker)."""
+    from .bbox import corners_from_boxes
+
+    keep = info.gt_labels >= 0
+    boxes = info.gt_boxes[keep]
+    labels = info.gt_labels[keep]
+    vis = info.visibility[keep].astype(np.float32)
+    corners = corners_from_boxes(boxes) if len(boxes) else np.zeros((0, 8, 3))
+    out = _BUILD_RAS(info.location, info.lidar2global, corners=corners,
+                     labels=labels,
+                     box_heights=boxes[:, 5] if len(boxes) else
+                     np.zeros((0,)), visibility=vis)
+    enc = one_hot_encode(out["gt_masks_bev_static"])
+    assert (one_hot_decode(enc, out["gt_masks_bev_static"].shape[0])
+            == (out["gt_masks_bev_static"] > 0)).all()
+    enc_full = one_hot_encode(out["gt_masks_bev"]) \
+        if "gt_masks_bev" in out and _BUILD_RAS.object_classes else None
+    return info.token, enc, enc_full, out.get("gt_aux_bev")
+
+
 def build_cache(index, rasterizer, path: str,
                 tokens: Optional[Sequence[str]] = None,
-                progress: bool = True) -> str:
+                progress: bool = True, workers: int = 0) -> str:
     """Offline cache builder (ref:tools/prepare_map_aux.py:60-127).
 
     Rasterizes every frame's static+dynamic+aux BEV layers and writes the
     bit-packed h5. Round-trips each record as a write-time assert
-    (ref:prepare_map_aux.py:69-70).
+    (ref:prepare_map_aux.py:69-70). ``workers > 0`` fans the rasterization
+    out over forked processes (the parsed map geometry is preloaded in the
+    parent so children share it copy-on-write); the h5 is written by the
+    parent only. Results are identical to the sequential build.
     """
     import h5py
 
-    from .bbox import corners_from_boxes
+    global _BUILD_RAS
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with h5py.File(path, "w") as f:
-        g_static = f.create_group("gt_masks_bev_static")
-        g_full = f.create_group("gt_masks_bev")
-        g_aux = f.create_group("gt_aux_bev")
-        infos = index.infos
-        for i, info in enumerate(infos):
-            if tokens is not None and info.token not in tokens:
-                continue
-            keep = info.gt_labels >= 0
-            boxes = info.gt_boxes[keep]
-            labels = info.gt_labels[keep]
-            vis = info.visibility[keep].astype(np.float32)
-            corners = corners_from_boxes(boxes) if len(boxes) else \
-                np.zeros((0, 8, 3))
-            out = rasterizer(info.location, info.lidar2global,
-                             corners=corners, labels=labels,
-                             box_heights=boxes[:, 5] if len(boxes) else
-                             np.zeros((0,)), visibility=vis)
-            enc = one_hot_encode(out["gt_masks_bev_static"])
-            assert (one_hot_decode(enc, out["gt_masks_bev_static"].shape[0])
-                    == (out["gt_masks_bev_static"] > 0)).all()
-            g_static.create_dataset(info.token, data=enc, compression="gzip")
-            if "gt_masks_bev" in out and rasterizer.object_classes:
-                g_full.create_dataset(
-                    info.token, data=one_hot_encode(out["gt_masks_bev"]),
-                    compression="gzip")
-            if "gt_aux_bev" in out:
-                g_aux.create_dataset(info.token, data=out["gt_aux_bev"],
-                                     compression="gzip")
-            if progress and i % 500 == 0:
-                print(f"cache: {i}/{len(infos)}")
+    infos = [info for info in index.infos
+             if tokens is None or info.token in tokens]
+    _BUILD_RAS = rasterizer
+
+    def results_seq():
+        for info in infos:
+            yield _raster_encode_one(info)
+
+    if workers > 0:
+        import multiprocessing as mp
+
+        for loc in sorted({info.location for info in infos}):
+            rasterizer.map_for(loc)  # parent preload -> COW-shared pages
+        ctx = mp.get_context("fork")
+        pool = ctx.Pool(workers)
+        results = pool.imap(_raster_encode_one, infos, chunksize=8)
+    else:
+        pool = None
+        results = results_seq()
+
+    try:
+        with h5py.File(path, "w") as f:
+            g_static = f.create_group("gt_masks_bev_static")
+            g_full = f.create_group("gt_masks_bev")
+            g_aux = f.create_group("gt_aux_bev")
+            for i, (token, enc, enc_full, aux) in enumerate(results):
+                g_static.create_dataset(token, data=enc, compression="gzip")
+                if enc_full is not None:
+                    g_full.create_dataset(token, data=enc_full,
+                                          compression="gzip")
+                if aux is not None:
+                    g_aux.create_dataset(token, data=aux, compression="gzip")
+                if progress and i % 500 == 0:
+                    print(f"cache: {i}/{len(infos)}")
+    finally:
+        if pool is not None:
+            pool.close()
+            pool.join()
+        _BUILD_RAS = None
     return path

@@ -34,6 +34,65 @@ LOCATIONS = (
     "boston-seaport",
 )
 
+
+def _native_raster():
+    try:
+        from magicdrive_tpu.native import raster as nr
+        return nr
+    except OSError:
+        return None
+
+
+def resolve_raster_backend(backend: str = "auto") -> str:
+    """'pil' (bit-reproducible vs PIL, the tested default), 'native' (C++
+    scanline core, ~near-identical pixels — see tests/test_native_raster.py),
+    or 'auto' (native when the shared library is built)."""
+    if backend == "auto":
+        return "native" if _native_raster() else "pil"
+    if backend == "native" and not _native_raster():
+        raise RuntimeError(
+            "native raster backend requested but the library is not built; "
+            "run: python -m magicdrive_tpu.native.build")
+    assert backend in ("pil", "native"), backend
+    return backend
+
+
+def _fill_polys_pil(canvas: np.ndarray, polys) -> None:
+    img = Image.fromarray(canvas)
+    draw = ImageDraw.Draw(img)
+    for pts, value in polys:
+        draw.polygon(pts.flatten().tolist(), fill=int(value))
+    canvas[:] = np.asarray(img)
+
+
+def _lines2_pil(canvas: np.ndarray, lines) -> None:
+    img = Image.fromarray(canvas)
+    draw = ImageDraw.Draw(img)
+    for pts in lines:
+        draw.line([tuple(p) for p in pts], fill=1, width=2)
+    canvas[:] = np.asarray(img)
+
+
+def make_draw_fns(backend: str):
+    """Canvas-level draw ops over a (h, w) uint8 array, batched per canvas
+    (one PIL image round-trip / one C call sequence per canvas):
+      fill_polys(canvas, [(pts_int32, value), ...])
+      lines2(canvas, [pts_int32, ...])   # 2-px polylines, value 1
+    """
+    if backend == "native":
+        nr = _native_raster()
+
+        def fill_polys(canvas, polys):
+            for pts, value in polys:
+                nr.fill_polygon(canvas, pts, int(value))
+
+        def lines2(canvas, lines):
+            for pts in lines:
+                nr.draw_polyline2(canvas, pts)
+
+        return fill_polys, lines2
+    return _fill_polys_pil, _lines2_pil
+
 # layer -> geometry source in the map expansion schema
 POLYGON_LAYERS = ("road_segment", "lane", "ped_crossing", "walkway",
                   "stop_line", "carpark_area", "road_block", "drivable_area")
@@ -110,9 +169,10 @@ class MapLayers:
 class NuScenesMapRaster:
     """get_map_mask-compatible rasterizer over the parsed layers."""
 
-    def __init__(self, dataroot: str, location: str):
+    def __init__(self, dataroot: str, location: str, backend: str = "pil"):
         path = os.path.join(dataroot, "maps", "expansion", f"{location}.json")
         self.layers = MapLayers(path)
+        self._fill_polys, self._lines2 = make_draw_fns(backend)
 
     def get_map_mask(self, patch_box, patch_angle: float,
                      layer_names: Sequence[str],
@@ -128,29 +188,22 @@ class NuScenesMapRaster:
         shift = np.array([patch_w / 2, patch_h / 2])
 
         def to_canvas(pts: np.ndarray) -> np.ndarray:
-            return ((pts - center) @ rot.T + shift) * scale
+            pts = ((pts - center) @ rot.T + shift) * scale
+            return np.round(pts).astype(np.int32)
 
         out = np.zeros((len(layer_names), canvas_h, canvas_w), np.uint8)
         for ci, layer in enumerate(layer_names):
-            img = Image.fromarray(out[ci])
-            draw = ImageDraw.Draw(img)
             idx = self.layers.in_patch(layer, center, radius)
             geoms = self.layers.layers[layer]
             if layer in LINE_LAYERS:
-                for i in idx:
-                    pts = to_canvas(geoms[i])
-                    draw.line([tuple(p) for p in np.round(pts).astype(int)],
-                              fill=1, width=2)
+                self._lines2(out[ci], [to_canvas(geoms[i]) for i in idx])
             else:
+                polys = []
                 for i in idx:
                     ext, holes = geoms[i]
-                    draw.polygon([tuple(p) for p in
-                                  np.round(to_canvas(ext)).astype(int)], fill=1)
-                    for h in holes:
-                        draw.polygon([tuple(p) for p in
-                                      np.round(to_canvas(h)).astype(int)],
-                                     fill=0)
-            out[ci] = np.asarray(img)
+                    polys.append((to_canvas(ext), 1))
+                    polys.extend((to_canvas(h), 0) for h in holes)
+                self._fill_polys(out[ci], polys)
         return out
 
 
@@ -172,7 +225,8 @@ class BEVRasterizer:
                      "road_block"),
                  object_classes: Optional[Sequence[str]] = None,
                  aux_data: Optional[Sequence[str]] = None,
-                 locations: Sequence[str] = LOCATIONS):
+                 locations: Sequence[str] = LOCATIONS,
+                 backend: str = "pil"):
         patch_h = ybound[1] - ybound[0]
         patch_w = xbound[1] - xbound[0]
         self.patch_size = (patch_h, patch_w)
@@ -186,11 +240,14 @@ class BEVRasterizer:
             [ch / patch_h, 0, ch / 2], [0, cw / patch_w, cw / 2], [0, 0, 1]])
         self._dataroot = dataset_root
         self._maps: Dict[str, NuScenesMapRaster] = {}
+        self._backend = resolve_raster_backend(backend)
+        self._fill_polys, self._lines2 = make_draw_fns(self._backend)
 
     def map_for(self, location: str) -> NuScenesMapRaster:
         """Lazy per-location map load (the expansion JSONs are ~100 MB)."""
         if location not in self._maps:
-            self._maps[location] = NuScenesMapRaster(self._dataroot, location)
+            self._maps[location] = NuScenesMapRaster(
+                self._dataroot, location, backend=self._backend)
         return self._maps[location]
 
     # -- mapping of config class names to devkit layers (ref:pipeline.py:261-273)
@@ -243,48 +300,73 @@ class BEVRasterizer:
             if not sel.any():
                 continue
             cc = self._bottom_corners_canvas(corners[sel])
-            img = Image.fromarray(dyn[cls_id])
-            draw = ImageDraw.Draw(img)
-            for box in cc:
-                draw.polygon(box.round().astype(np.int32).flatten().tolist(),
-                             fill=1)
-            dyn[cls_id] = np.asarray(img)
+            self._fill_polys(dyn[cls_id], [
+                (box.round().astype(np.int32), 1) for box in cc])
         return dyn.transpose(0, 2, 1)  # ref:pipeline.py:218
 
     def aux_masks(self, corners: np.ndarray, box_heights: np.ndarray,
                   visibility: np.ndarray) -> np.ndarray:
-        """(8, H, W) class-agnostic aux channels (ref:pipeline.py:88-174)."""
+        """(8, H, W) class-agnostic aux channels (ref:pipeline.py:88-174).
+
+        Each box footprint is rasterized into its clipped integer bounding
+        rect only (a box covers ~10x5 of the 200x200 cells): PIL polygon
+        fill with integer vertices is translation-equivariant, so the
+        cropped raster is pixel-identical to a full-canvas draw — this is
+        the data-path hot spot (the per-box full-canvas version measured
+        ~114 ms/frame at 40 boxes; see tools/bench_raster.py).
+        """
         aux_ch = sum(AUX_DATA_CH[k] for k in self.aux_data)
-        aux = np.zeros((*self.canvas_size, aux_ch), np.float32)
-        coords = np.stack(np.meshgrid(
-            np.arange(self.canvas_size[1]), np.arange(self.canvas_size[0])),
-            -1).astype(np.float32)
+        H, W = self.canvas_size
+        aux = np.zeros((H, W, aux_ch), np.float32)
+        all_bc = self._bottom_corners_canvas(corners)  # (N, 4, 2)
+        if self._backend == "native":
+            from magicdrive_tpu.native import raster as nr
+            n = len(corners)
+            nr.aux_channels(
+                aux, all_bc,
+                visibility if visibility is not None else np.zeros(n),
+                box_heights if box_heights is not None else np.zeros(n),
+                [k in self.aux_data for k in
+                 ("visibility", "center_offset", "center_ohw", "height")])
+            return aux.transpose(2, 1, 0)  # ref:pipeline.py:172-173
         for i in range(len(corners)):
-            bc = self._bottom_corners_canvas(corners[i:i + 1])[0]  # (4, 2)
+            bc = all_bc[i]                                  # (4, 2) float
+            pts = bc.round().astype(np.int32)
+            x0 = max(int(pts[:, 0].min()), 0)
+            y0 = max(int(pts[:, 1].min()), 0)
+            x1 = min(int(pts[:, 0].max()), W - 1)
+            y1 = min(int(pts[:, 1].max()), H - 1)
+            if x1 < x0 or y1 < y0:
+                continue
+            w, h = x1 - x0 + 1, y1 - y0 + 1
+            render = np.zeros((h, w), np.uint8)
+            self._fill_polys(render, [(pts - [x0, y0], 1)])
+            m = render > 0                                  # (h, w)
+            if not m.any():
+                continue
             center = bc.mean(axis=0, keepdims=True)
             front = bc[2:4].mean(axis=0, keepdims=True)  # corners 7,4 midpoint
             left = bc[[0, 3]].mean(axis=0, keepdims=True)  # corners 0,4 mid
-            render = Image.fromarray(
-                np.zeros(self.canvas_size, dtype=np.uint8))
-            ImageDraw.Draw(render).polygon(
-                bc.round().astype(np.int32).flatten().tolist(), fill=1)
-            m = np.asarray(render) > 0
+            win = aux[y0:y1 + 1, x0:x1 + 1]
             cur = 0
             if "visibility" in self.aux_data:
-                aux[m, cur:cur + 1] = visibility[i]
+                win[m, cur:cur + 1] = visibility[i]
                 cur += 1
             if "center_offset" in self.aux_data:
-                aux[m, cur:cur + 2] = coords[m] - center
+                xs, ys = np.meshgrid(np.arange(x0, x1 + 1, dtype=np.float32),
+                                     np.arange(y0, y1 + 1, dtype=np.float32))
+                win[m, cur:cur + 2] = (
+                    np.stack([xs, ys], -1)[m] - center)
                 cur += 2
             if "center_ohw" in self.aux_data:
                 hgt = np.linalg.norm(front - center)
                 wdt = np.linalg.norm(left - center)
                 v = ((front - center)
                      / (np.linalg.norm(front - center) + 1e-6))[0]
-                aux[m, cur:cur + 4] = np.array([hgt, wdt, v[0], v[1]])[None]
+                win[m, cur:cur + 4] = np.array([hgt, wdt, v[0], v[1]])[None]
                 cur += 4
             if "height" in self.aux_data:
-                aux[m, cur:cur + 1] = box_heights[i]
+                win[m, cur:cur + 1] = box_heights[i]
                 cur += 1
         return aux.transpose(2, 1, 0)  # ref:pipeline.py:172-173
 

@@ -10,7 +10,8 @@ OUT = os.path.join(HERE, "libmagicdrive_native.so")
 
 
 def build(verbose: bool = True) -> str:
-    srcs = [os.path.join(HERE, "csrc", "bitpack.cc")]
+    srcs = [os.path.join(HERE, "csrc", "bitpack.cc"),
+            os.path.join(HERE, "csrc", "raster.cc")]
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
            "-o", OUT] + srcs
     if verbose:

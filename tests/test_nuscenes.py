@@ -157,6 +157,61 @@ def test_codec_roundtrip():
     assert (one_hot_decode(packed, 18) == masks).all()
 
 
+def test_aux_masks_matches_full_canvas():
+    """The bbox-cropped aux rasterization must equal the straightforward
+    full-canvas-per-box implementation (the original semantics,
+    ref:pipeline.py:88-174) pixel for pixel — including boxes partially or
+    fully outside the canvas and overlapping boxes (later box wins)."""
+    from PIL import ImageDraw
+
+    aux_data = ("visibility", "center_offset", "center_ohw", "height")
+    r = BEVRasterizer("/nonexistent", object_classes=("car",),
+                      aux_data=aux_data)
+    rng = np.random.default_rng(0)
+    n = 12
+    ctr = rng.uniform(-70, 70, (n, 3))  # some outside the +-50 m patch
+    ctr[:, 2] = 0.0
+    base = np.array([[0, 0, 0], [0, 0, 1], [0, 1, 1], [0, 1, 0],
+                     [1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0]],
+                    np.float32) - [0.5, 0.5, 0]
+    corners = np.stack([
+        base * rng.uniform([3, 1.5, 1.4], [10, 2.5, 3], 3) @ np.array(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+             [0, 0, 1]]).T + ctr[i]
+        for i, a in enumerate(rng.uniform(0, 2 * np.pi, n))])
+    heights = corners[:, :, 2].max(1)
+    vis = rng.uniform(0, 1, n)
+
+    got = r.aux_masks(corners, heights, vis)
+
+    # brute-force original
+    aux_ch = 8
+    H, W = r.canvas_size
+    aux = np.zeros((H, W, aux_ch), np.float32)
+    coords = np.stack(np.meshgrid(np.arange(W), np.arange(H)),
+                      -1).astype(np.float32)
+    for i in range(n):
+        bc = r._bottom_corners_canvas(corners[i:i + 1])[0]
+        center = bc.mean(axis=0, keepdims=True)
+        front = bc[2:4].mean(axis=0, keepdims=True)
+        left = bc[[0, 3]].mean(axis=0, keepdims=True)
+        render = Image.new("L", (W, H), 0)
+        ImageDraw.Draw(render).polygon(
+            bc.round().astype(np.int32).flatten().tolist(), fill=1)
+        m = np.asarray(render) > 0
+        aux[m, 0:1] = vis[i]
+        aux[m, 1:3] = coords[m] - center
+        hgt = np.linalg.norm(front - center)
+        wdt = np.linalg.norm(left - center)
+        v = ((front - center) / (np.linalg.norm(front - center) + 1e-6))[0]
+        aux[m, 3:7] = np.array([hgt, wdt, v[0], v[1]])[None]
+        aux[m, 7:8] = heights[i]
+    want = aux.transpose(2, 1, 0)
+
+    assert got.shape == want.shape == (8, W, H)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_map_raster(mini_nuscenes):
     root, _ = mini_nuscenes
     m = NuScenesMapRaster(root, LOCATION)
@@ -225,6 +280,18 @@ def test_cache_and_loader(mini_nuscenes, tmp_path):
         aux_data=("visibility", "center_offset", "center_ohw", "height"))
     path = build_cache(idx, ras, str(tmp_path / "cache.h5"), progress=False)
     cache = BEVCache(path, n_map_classes=8, n_object_classes=10)
+
+    # the forked parallel build must produce identical records
+    import h5py
+
+    path_par = build_cache(idx, ras, str(tmp_path / "cache_par.h5"),
+                           progress=False, workers=2)
+    with h5py.File(path) as a, h5py.File(path_par) as b:
+        for grp in ("gt_masks_bev_static", "gt_masks_bev", "gt_aux_bev"):
+            assert sorted(a[grp]) == sorted(b[grp])
+            for tok in a[grp]:
+                np.testing.assert_array_equal(a[grp][tok][()],
+                                              b[grp][tok][()])
     m = cache.get(idx.infos[0].token)
     assert m is not None and m.shape == (8 + 10 + 8, 200, 200)
 

@@ -19,6 +19,8 @@ def main(argv=None):
     p.add_argument("--dataroot", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--version", default="v1.0-trainval")
+    p.add_argument("--workers", type=int, default=max(os.cpu_count() - 1, 0),
+                   help="parallel rasterization workers (0 = sequential)")
     args = p.parse_args(argv)
 
     from magicdrive_tpu.config.loader import compose
@@ -34,8 +36,8 @@ def main(argv=None):
         ybound=tuple(dc["map_bound"]["y"]),
         classes=tuple(dc["map_classes"]),
         object_classes=tuple(dc["object_classes"]),
-        aux_data=tuple(dc["aux_data"]))
-    build_cache(index, ras, args.out)
+        aux_data=tuple(dc["aux_data"]), backend="auto")
+    build_cache(index, ras, args.out, workers=args.workers)
     print(f"cache written: {args.out}")
 
 

@@ -43,7 +43,7 @@ def build_datasets(cfg, tokenizer=None):
                 ybound=tuple(dc["map_bound"]["y"]),
                 classes=tuple(dc["map_classes"]),
                 object_classes=tuple(dc["object_classes"]),
-                aux_data=tuple(dc["aux_data"]))
+                aux_data=tuple(dc["aux_data"]), backend="auto")
         aug = ImageAugConfig(final_hw=tuple(dc["image_size"]),
                              resize_lim=tuple(dc["augment2d"]["resize"]))
         train = NuScenesDataset(index, rasterizer=ras, cache=cache, aug=aug,
