@@ -4,12 +4,18 @@ One attention implementation serves all three uses in the framework (self,
 text-cross, cross-view), replacing the reference's xformers CUDA FMHA
 (ref:third_party/xformers csrc; wired via diffusers XFormersAttnProcessor).
 
-Two backends:
-  * ``xla``    — einsum + softmax; XLA fuses this well on TPU for the short
-                 sequence lengths of SD latents. Always available, used as the
-                 reference implementation in tests.
-  * ``pallas`` — fused flash-attention kernel (magicdrive_tpu.kernels), used
-                 on TPU for long sequences (video / hi-res models).
+Three backends:
+  * ``xla``    — einsum + softmax; XLA fuses this well for short sequences,
+                 but materializes the (Lq, Lk) fp32 logits in HBM. Always
+                 available, used as the reference implementation in tests.
+  * ``pallas`` — fused flash-attention kernel (magicdrive_tpu.kernels):
+                 O(L) memory, never materializes logits, but pads the head
+                 dim to the 128-lane tile (3.2x FLOP padding at D=40).
+  * ``auto``   — the default on TPU: pallas when the logits tile is large
+                 enough that HBM traffic dominates (Lq*Lk >= 512^2 — the
+                 28x50-latent self/cross-view attentions and everything
+                 bigger), xla otherwise (short text-cross and the deeper
+                 low-resolution levels).
 """
 from __future__ import annotations
 
@@ -20,12 +26,16 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-_BACKEND = "xla"  # module-level default; set_attention_backend() overrides.
+_BACKEND = "auto"  # module-level default; set_attention_backend() overrides.
+
+# pallas pays off once the materialized-logits traffic the xla path would
+# incur outweighs the flash kernel's lane-padding waste
+_AUTO_PALLAS_MIN_LOGITS = 512 * 512
 
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "auto"), name
     _BACKEND = name
 
 
@@ -49,6 +59,15 @@ def dot_product_attention(
     Returns: (..., Lq, H, D)
     """
     backend = backend or _BACKEND
+    if backend == "auto":
+        # pallas when the materialized-logits traffic dominates; measured
+        # (tools/bench_attention.py, v5e): L=1400 D=40 pallas 7.5 ms vs xla
+        # 10.7 ms; the wide-head VAE attention (D=512) stays xla (2.3 vs
+        # 3.0 ms — no lane padding, efficient matmuls).
+        big = q.shape[-3] * k.shape[-3] >= _AUTO_PALLAS_MIN_LOGITS
+        backend = "pallas" if (
+            big and q.shape[-1] <= 128 and bias is None
+            and jax.default_backend() == "tpu") else "xla"
     if backend == "pallas" and bias is None:
         from magicdrive_tpu.kernels.flash_attention import flash_attention
 

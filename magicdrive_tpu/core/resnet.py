@@ -78,6 +78,12 @@ def nearest_resize(x, out_hw):
     """torch F.interpolate(mode='nearest') semantics: idx = floor(i*in/out)."""
     b, h, w, c = x.shape
     oh, ow = out_hw
+    if oh % h == 0 and ow % w == 0:
+        # integer upsample factor: floor(i*in/out) == i // factor, i.e. each
+        # source pixel repeats factor times — broadcast+reshape instead of
+        # two gathers (the only case the UNet/VAE decoders hit: factor 2)
+        x = jnp.repeat(x, oh // h, axis=1)
+        return jnp.repeat(x, ow // w, axis=2)
     hi = (jnp.arange(oh) * h) // oh
     wi = (jnp.arange(ow) * w) // ow
     return x[:, hi][:, :, wi]
