@@ -64,10 +64,12 @@ def dot_product_attention(
         # (tools/bench_attention.py, v5e): L=1400 D=40 pallas 7.5 ms vs xla
         # 10.7 ms; the wide-head VAE attention (D=512) stays xla (2.3 vs
         # 3.0 ms — no lane padding, efficient matmuls).
+        from magicdrive_tpu.kernels.flash_attention import on_tpu_by_default
+
         big = q.shape[-3] * k.shape[-3] >= _AUTO_PALLAS_MIN_LOGITS
         backend = "pallas" if (
             big and q.shape[-1] <= 128 and bias is None
-            and jax.default_backend() == "tpu") else "xla"
+            and on_tpu_by_default()) else "xla"
     if backend == "pallas" and bias is None:
         from magicdrive_tpu.kernels.flash_attention import flash_attention
 

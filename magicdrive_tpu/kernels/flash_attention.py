@@ -43,8 +43,18 @@ def _pick_block(length: int, target: int) -> int:
     return target
 
 
+def on_tpu_by_default() -> bool:
+    """True when ops run on TPU by default — honors ``jax.default_device``
+    contexts (host-side init under ``default_device(cpu)`` must NOT take
+    the TPU kernel path even though the global backend is TPU)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", "") in ("tpu", "axon")
+    return jax.default_backend() == "tpu"
+
+
 def _interpret_default() -> bool:
-    return jax.default_backend() != "tpu"
+    return not on_tpu_by_default()
 
 
 # ---------------------------------------------------------------------------
