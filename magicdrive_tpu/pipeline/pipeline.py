@@ -105,15 +105,25 @@ class MagicDrivePipeline:
         camera_param (B, N, 3, 7), bev_map (B, H, W, C),
         bboxes (B, N, L, P, 3), classes (B, N, L), masks (B, N, L).
         Returns images (B, N, H, W, 3) in [0, 1] float32.
+
+        When ``latents`` is not given, the initial noise is drawn from
+        ``key`` INSIDE the jitted program — eager `prepare_latents` costs
+        per-call device dispatches (expensive through a device tunnel).
         """
         if latents is None:
             assert key is not None, "pass either latents or a PRNG key"
-            latents = self.prepare_latents(key, batch["input_ids"].shape[0])
-        return self._generate(self.params, latents, batch)
+        return self._generate(self.params, latents, batch, key)
 
 
-def _generate_fn(pipe: MagicDrivePipeline, params, latents, batch):
+def _generate_fn(pipe: MagicDrivePipeline, params, latents, batch, key=None):
     m, cfg, coeffs = pipe.m, pipe.cfg, pipe.coeffs
+    if latents is None:
+        B = batch["input_ids"].shape[0]
+        c = pipe.cfg
+        lat = jax.random.normal(
+            key, (B, 1, c.latent_height, c.latent_width, 4), jnp.float32)
+        latents = jnp.broadcast_to(
+            lat, (B, c.n_cam, c.latent_height, c.latent_width, 4))
     B, N = latents.shape[:2]
 
     # ---- frozen text encoder (cond + uncond) ----

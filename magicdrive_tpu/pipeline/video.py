@@ -55,9 +55,9 @@ class VideoPipeline:
         """Returns (B*F, N, H, W, 3) in [0, 1]; reshape with
         ``rearrange(out, '(b f) n ... -> b f n ...', f=n_frames)``."""
         if latents is None:
-            assert key is not None
-            B = batch["input_ids"].shape[0] // self.n_frames
-            latents = self.prepare_latents(key, B)
+            # per-frame noise shared across views == the image pipeline's
+            # in-jit draw at batch (B*F); avoids eager per-call dispatches
+            return self._pipe(batch, key=key)
         return self._pipe(batch, latents=latents)
 
     @staticmethod
