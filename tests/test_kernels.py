@@ -71,3 +71,41 @@ def test_leading_batch_axes():
     ref = _ref(q, k, v)
     assert out.shape == ref.shape
     assert jnp.abs(out - ref).max() < 2e-5
+
+
+def test_auto_block_choices_fit_vmem():
+    """Auto block selection: divisible into the padded extent, within the
+    VMEM budget, and full-extent where it fits (the measured-fastest
+    config at SD shapes)."""
+    from magicdrive_tpu.kernels.flash_attention import (
+        _VMEM_BUDGET, _auto_blocks, _auto_blocks_bwd, _ceil_to)
+
+    for Lq, Lk, d_pad, esize in [
+            (1400, 1400, 128, 2),   # 224x400 UNet level, bf16
+            (1400, 1400, 128, 4),   # same in fp32 (tiny-debug models)
+            (3128, 3128, 128, 2),   # 272x736 UNet level
+            (1400, 1400, 512, 2),   # VAE-width heads
+            (22400, 22400, 128, 2),  # video-scale sequence
+            (16, 16, 128, 4)]:
+        for fn, is_bwd in ((_auto_blocks, False), (_auto_blocks_bwd, True)):
+            bq, bk = fn(Lq, Lk, d_pad, esize)
+            assert bq % 16 == 0 and bk % 16 == 0
+            assert bq <= _ceil_to(Lq, 16) and bk <= _ceil_to(Lk, 16)
+            if is_bwd:
+                use = (2 * bq * bk * 4 + (2 * bq + 2 * bk) * d_pad * esize
+                       * 2 + (2 * bk + bq) * d_pad * 4)
+            else:
+                use = (bq * bk * 4 + 2 * bk * d_pad * esize * 2
+                       + bq * d_pad * (esize + 4))
+            assert use <= _VMEM_BUDGET, (Lq, Lk, d_pad, esize, bq, bk, use)
+    # the headline shape gets the full-extent single-block fast path (fwd)
+    assert _auto_blocks(1400, 1400, 128, 2) == (1408, 1408)
+
+
+def test_on_tpu_by_default_honors_default_device():
+    """Host-side init under default_device(cpu) must not select the TPU
+    kernel path even when the global backend is an accelerator."""
+    from magicdrive_tpu.kernels.flash_attention import on_tpu_by_default
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        assert on_tpu_by_default() is False
