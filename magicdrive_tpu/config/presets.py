@@ -99,6 +99,41 @@ def tiny_debug(n_cam: int = 6) -> ModelPreset:
     )
 
 
+def micro_debug(n_cam: int = 6) -> ModelPreset:
+    """Minimal-shape preset for multi-chip dry-runs and sharding smokes.
+
+    Full train-step semantics (VAE encode, CLIP, ControlNet with CFG
+    dropout, multiview UNet, optimizer partition) but every spatial dim is
+    minimal, so an unoptimized virtual-CPU-mesh compile plus one step
+    finishes in seconds rather than minutes (tiny_debug keeps real 224x400
+    shapes and takes ~3 min of CPU compile+exec per jit).
+    """
+    neighbors = NUSCENES_NEIGHBORS[:n_cam] if n_cam == 6 else tuple(
+        ((i - 1) % n_cam, (i + 1) % n_cam) for i in range(n_cam))
+    unet = UNetConfig(
+        block_out_channels=(8, 16), layers_per_block=1,
+        num_attention_heads=2, cross_attention_dim=16, norm_num_groups=4,
+        down_block_has_attn=(True, True), neighboring_view_pair=neighbors)
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        camera_out_dim=16, map_size=(8, 32, 32),
+        map_embedder_out_channels=(4, 4, 8, 8),
+        use_map_embedder_plus=True, map_embedder_plus_size=(4, 8),
+        bbox=BBoxEmbedderConfig(class_token_dim=16, proj_dims=(16, 8, 8, 16)),
+    )
+    return ModelPreset(
+        name="micro-debug", unet=unet, controlnet=cn,
+        vae=VAEConfig(block_out_channels=(4, 4, 8, 8), layers_per_block=1,
+                      norm_num_groups=2),
+        clip=CLIPTextConfig(vocab_size=49408, hidden_size=16, num_layers=2,
+                            num_heads=2, intermediate_size=32),
+        pipeline=PipelineConfig(latent_height=4, latent_width=8,
+                                num_inference_steps=2, n_cam=n_cam,
+                                dtype=jnp.float32),
+        image_size=(32, 64), map_hw=(32, 32), bbox_max_len=8,
+    )
+
+
 def preset_from_config(cfg) -> ModelPreset:
     """Build a ModelPreset from a composed YAML config tree
     (magicdrive_tpu.config.loader.compose over repo ``configs/``)."""
