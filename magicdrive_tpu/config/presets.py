@@ -174,7 +174,8 @@ def preset_from_config(cfg) -> ModelPreset:
             minmax_normalize=be["minmax_normalize"]),
         drop_cond_ratio=cn_c["drop_cond_ratio"],
         drop_cam_num=cn_c["drop_cam_num"],
-        drop_cam_with_box=cn_c["drop_cam_with_box"])
+        drop_cam_with_box=cn_c["drop_cam_with_box"],
+        use_uncond_map=cn_c.get("use_uncond_map"))
     pp = rc["pipeline_param"]
     pipeline = PipelineConfig(
         num_inference_steps=pp["num_inference_steps"],
@@ -182,6 +183,7 @@ def preset_from_config(cfg) -> ModelPreset:
         conditioning_scale=pp["controlnet_conditioning_scale"],
         sampler=pp["sampler"],
         use_zero_map_as_unconditional=pp["use_zero_map_as_unconditional"],
+        guess_mode=bool(pp.get("guess_mode", False)),
         latent_height=H // 8, latent_width=W // 8,
         n_cam=len(neighbors))
     map_c, map_h, map_w = cn_c["map_size"]

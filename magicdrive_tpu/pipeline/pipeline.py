@@ -40,6 +40,11 @@ class PipelineConfig:
     conditioning_scale: float = 1.0
     sampler: str = "unipc"  # unipc | ddim
     use_zero_map_as_unconditional: bool = False
+    # ControlNet guess mode (ref:pipeline_bev_controlnet.py:361-405): the
+    # ControlNet runs only on the conditional CFG branch with logspace
+    # residual scaling; the unconditional branch gets zero residuals and
+    # the uncond token sequence.
+    guess_mode: bool = False
     latent_height: int = 28
     latent_width: int = 50
     n_cam: int = 6
@@ -86,13 +91,20 @@ class MagicDrivePipeline:
             modules.schedule, cfg.num_inference_steps, cfg.sampler)
         self._generate = jax.jit(functools.partial(_generate_fn, self))
 
-    def prepare_latents(self, key: jax.Array, batch_size: int) -> jnp.ndarray:
+    def prepare_latents(self, key: jax.Array, batch_size: int,
+                        fix_seed_within_batch: bool = False) -> jnp.ndarray:
         """One shared initial latent per sample, replicated over views
-        (ref:pipeline_bev_controlnet.py:326)."""
+        (ref:pipeline_bev_controlnet.py:326).
+
+        ``fix_seed_within_batch``: every sample in the batch starts from the
+        SAME noise (the reference's per-sample re-seeded generator list,
+        ref:misc/test_utils.py:224-238 + configs/config.yaml
+        fix_seed_within_batch).
+        """
         cfg = self.cfg
         lat = jax.random.normal(
-            key, (batch_size, 1, cfg.latent_height, cfg.latent_width, 4),
-            jnp.float32)
+            key, (1 if fix_seed_within_batch else batch_size, 1,
+                  cfg.latent_height, cfg.latent_width, 4), jnp.float32)
         return jnp.broadcast_to(
             lat, (batch_size, cfg.n_cam, cfg.latent_height, cfg.latent_width, 4))
 
@@ -132,28 +144,58 @@ def _generate_fn(pipe: MagicDrivePipeline, params, latents, batch, key=None):
 
     # ---- CFG-duplicated conditioning, uncond first ----
     cn_vars = params["controlnet"]
-    uncond_cam = cn_vars["params"]["uncond_cam"].reshape(
-        pipe.m.controlnet.cfg.uncond_cam_in_dim)
-    camera2 = jnp.concatenate([
-        jnp.broadcast_to(uncond_cam[None, None], batch["camera_param"].shape),
-        batch["camera_param"],
-    ])
-    text2 = jnp.concatenate([
-        jnp.broadcast_to(uncond_text, (B, *uncond_text.shape[1:])), text])
-    bboxes2 = jnp.concatenate([jnp.zeros_like(batch["bboxes"]), batch["bboxes"]])
-    classes2 = jnp.concatenate([jnp.zeros_like(batch["classes"]),
-                                batch["classes"]])
-    masks2 = jnp.concatenate([jnp.zeros_like(batch["masks"]), batch["masks"]])
     bev = batch["bev_map"]
-    uncond_map = jnp.zeros_like(bev) if cfg.use_zero_map_as_unconditional else bev
-    map2 = jnp.concatenate([uncond_map, bev])
+    # Uncond-branch map: the learned/stored uncond_map takes precedence over
+    # the zero-map option (ref:pipeline_bev_controlnet.py:296-300 + 330-343:
+    # add_uncond_to_kwargs overwrites the possibly-zeroed uncond half).
+    if m.controlnet.cfg.use_uncond_map:
+        uncond_map = m.controlnet.apply(
+            cn_vars, bev, method=BEVControlNet.substitute_with_uncond_map)
+    elif cfg.use_zero_map_as_unconditional:
+        uncond_map = jnp.zeros_like(bev)
+    else:
+        uncond_map = bev
 
     # ---- loop-invariant conditioning, computed once ----
-    tokens2 = m.controlnet.apply(
-        cn_vars, camera2, text2, bboxes2, classes2, masks2,
+    tokens_c = m.controlnet.apply(
+        cn_vars, batch["camera_param"], text, batch["bboxes"],
+        batch["classes"], batch["masks"],
         method=BEVControlNet.assemble_tokens)
-    cond_feat2 = m.controlnet.apply(cn_vars, map2,
-                                    method=BEVControlNet.embed_map)
+    if cfg.guess_mode:
+        # ControlNet sees only the conditional branch; the uncond branch
+        # gets the uncond token sequence and zero residuals
+        # (ref:pipeline_bev_controlnet.py:361-405, add_uncond_to_emb).
+        uncond_tok = m.controlnet.apply(
+            cn_vars, uncond_text, batch["bboxes"].shape[2],
+            method=BEVControlNet.uncond_tokens)
+        tokens2 = jnp.concatenate([
+            jnp.broadcast_to(uncond_tok[None, None], tokens_c.shape),
+            tokens_c])
+        cond_feat = m.controlnet.apply(cn_vars, bev,
+                                       method=BEVControlNet.embed_map)
+    else:
+        uncond_cam = cn_vars["params"]["uncond_cam"].reshape(
+            pipe.m.controlnet.cfg.uncond_cam_in_dim)
+        camera2 = jnp.concatenate([
+            jnp.broadcast_to(uncond_cam[None, None],
+                             batch["camera_param"].shape),
+            batch["camera_param"],
+        ])
+        text2 = jnp.concatenate([
+            jnp.broadcast_to(uncond_text, (B, *uncond_text.shape[1:])), text])
+        bboxes2 = jnp.concatenate([jnp.zeros_like(batch["bboxes"]),
+                                   batch["bboxes"]])
+        classes2 = jnp.concatenate([jnp.zeros_like(batch["classes"]),
+                                    batch["classes"]])
+        masks2 = jnp.concatenate([jnp.zeros_like(batch["masks"]),
+                                  batch["masks"]])
+        map2 = jnp.concatenate([uncond_map, bev])
+        tokens_u = m.controlnet.apply(
+            cn_vars, camera2[:B], text2[:B], bboxes2[:B], classes2[:B],
+            masks2[:B], method=BEVControlNet.assemble_tokens)
+        tokens2 = jnp.concatenate([tokens_u, tokens_c])
+        cond_feat2 = m.controlnet.apply(cn_vars, map2,
+                                        method=BEVControlNet.embed_map)
 
     timesteps = jnp.asarray(coeffs.timesteps)
     state0 = coeffs.init_state(latents.shape, jnp.float32)
@@ -163,10 +205,21 @@ def _generate_fn(pipe: MagicDrivePipeline, params, latents, batch, key=None):
         t = timesteps[i]
         lat2 = jnp.concatenate([x, x]).astype(cfg.dtype)
         t2 = jnp.broadcast_to(t[None], (2 * B,))
-        down_res, mid_res, _ = m.controlnet.apply(
-            cn_vars, lat2, t2, camera2, text2, map2, bboxes2, classes2,
-            masks2, conditioning_scale=cfg.conditioning_scale,
-            tokens=tokens2, cond_feat=cond_feat2)
+        if cfg.guess_mode:
+            down_res, mid_res, _ = m.controlnet.apply(
+                cn_vars, x.astype(cfg.dtype),
+                jnp.broadcast_to(t[None], (B,)), batch["camera_param"],
+                text, bev, batch["bboxes"], batch["classes"], batch["masks"],
+                conditioning_scale=cfg.conditioning_scale, guess_mode=True,
+                tokens=tokens_c, cond_feat=cond_feat)
+            down_res = tuple(jnp.concatenate([jnp.zeros_like(d), d])
+                             for d in down_res)
+            mid_res = jnp.concatenate([jnp.zeros_like(mid_res), mid_res])
+        else:
+            down_res, mid_res, _ = m.controlnet.apply(
+                cn_vars, lat2, t2, camera2, text2, map2, bboxes2, classes2,
+                masks2, conditioning_scale=cfg.conditioning_scale,
+                tokens=tokens2, cond_feat=cond_feat2)
         eps = m.unet.apply(
             params["unet"], rearrange(lat2, "b n h w c -> (b n) h w c"),
             repeat(t2, "b -> (b n)", n=N),

@@ -143,12 +143,20 @@ class Validator:
         self.indices = [i for i in indices if i < len(val_dataset)]
         self.times = times
         self.pipeline_cfg = pipeline_cfg or preset.pipeline
+        # One pipeline for the life of the run: params are an argument of
+        # the jitted generate fn, so periodic validation swaps them in
+        # WITHOUT recompiling (the flagship pipeline compile is ~25 min on
+        # TPU; a fresh jit cache per validation would be unusable —
+        # ref behavior: base_validator.py:55-204 rebuilds the torch pipe,
+        # which is cheap there but not under XLA).
+        self.pipe = MagicDrivePipeline(self.modules, None, self.pipeline_cfg)
 
     def validate(self, params, logger: MetricsLogger, step: int,
                  run_dir: Optional[str] = None) -> None:
         if not self.indices:
             return
-        pipe = MagicDrivePipeline(self.modules, params, self.pipeline_cfg)
+        pipe = self.pipe
+        pipe.params = params
         samples = [self.dataset[i] for i in self.indices]
         batch = self._collate(samples, self.ccfg)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}

@@ -73,3 +73,33 @@ def test_serialization_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["d"].astype(np.float32),
                                   tree["d"].astype(np.float32))
     assert os.path.isfile(tmp_path / "w" / "manifest.json")
+
+
+def test_validator_reuses_compiled_pipeline(tmp_path):
+    """Periodic validation must not recompile the generation pipeline: the
+    jitted fn takes params as an argument, so a second validate() with new
+    params reuses the single cache entry (VERDICT r1: the flagship compile
+    is ~25 min on TPU — one cache entry per validation is unusable)."""
+    import dataclasses
+
+    from magicdrive_tpu.config.presets import init_params, micro_debug
+    from magicdrive_tpu.data.collate import CollateConfig
+    from magicdrive_tpu.train.runner import MetricsLogger, Validator
+
+    preset = micro_debug()
+    modules = preset.modules(dtype=jnp.float32)
+    params = init_params(preset, modules, jax.random.PRNGKey(0))
+    ds = make_dataset(2, image_hw=preset.image_size, map_hw=preset.map_hw)
+    ccfg = CollateConfig(bbox_max_len=preset.bbox_max_len,
+                         canvas_hw=preset.image_size)
+    pcfg = dataclasses.replace(preset.pipeline, num_inference_steps=2)
+    v = Validator(modules, preset, ds, ccfg, indices=[0], times=1,
+                  pipeline_cfg=pcfg)
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    v.validate(params, logger, step=1, run_dir=None)
+    assert v.pipe._generate._cache_size() == 1
+    params2 = jax.tree.map(lambda x: x + 0.01 if x.dtype == jnp.float32 else x,
+                           params)
+    v.validate(params2, logger, step=2, run_dir=None)
+    assert v.pipe._generate._cache_size() == 1  # no retrace, no recompile
+    logger.close()

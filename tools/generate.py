@@ -22,7 +22,10 @@ def main(argv=None):
     p.add_argument("--run_dir", required=True)
     p.add_argument("--out", default=None)
     p.add_argument("--indices", type=int, nargs="*", default=None)
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--seed", type=int, default=None,
+                   help="override cfg seed")
+    p.add_argument("--times", type=int, default=None,
+                   help="variants per sample (default: runner.validation_times)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
@@ -63,31 +66,51 @@ def main(argv=None):
         bbox_max_len=cfg["runner"]["bbox_max_length"],
         canvas_hw=tuple(cfg["dataset"]["image_size"]), is_train=False)
 
-    for i in indices:
-        sample = val_ds[i]
-        batch = collate_fn([sample], ccfg)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()
-                 if k != "pixel_values"}
-        imgs = np.asarray(pipe(batch, key=jax.random.PRNGKey(args.seed + i)))
+    # Seed policy (ref:misc/test_utils.py:191-255 + configs/config.yaml
+    # fix_seed_within_batch): one global key seeds every batch; with
+    # fix_seed_within_batch all samples in the batch share the SAME initial
+    # noise, otherwise each sample draws its own.
+    seed = args.seed if args.seed is not None else cfg.get("seed")
+    fix_within = bool(cfg.get("fix_seed_within_batch", False))
+    times = args.times if args.times is not None else \
+        int(cfg["runner"].get("validation_times", 1))
 
-        gen = concat_6_views(imgs[0], oneline=True)
-        rows = [gen]
-        if cfg["runner"].get("validation_show_box"):
-            boxed = draw_boxes_on_views(
-                imgs[0], np.asarray(sample["boxes"]),
-                np.asarray(sample["labels"]),
-                np.asarray(sample["lidar2image"]),
-                np.asarray(sample["img_aug_matrix"]),
-                classes=cfg["dataset"]["object_classes"]) / 255.0
-            rows.append(concat_6_views(boxed, oneline=True))
-        grid = np.concatenate(rows, axis=0)
-        Image.fromarray((np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
-            os.path.join(out_dir, f"{i}_gen.png"))
-        mp = visualize_map(sample["bev_map"],
-                           cfg["dataset"]["map_classes"],
-                           cfg["dataset"]["object_classes"])
-        Image.fromarray(mp).save(os.path.join(out_dir, f"{i}_map.png"))
-        print(f"generated {i} -> {out_dir}")
+    samples = [val_ds[i] for i in indices]
+    batch = collate_fn(samples, ccfg)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k != "pixel_values"}
+    B = len(indices)
+    global_key = jax.random.PRNGKey(0 if seed is None else seed)
+
+    for ti in range(times):
+        key_t = jax.random.fold_in(global_key, ti)
+        latents = pipe.prepare_latents(key_t, B,
+                                       fix_seed_within_batch=fix_within)
+        imgs = np.asarray(pipe(batch, latents=latents))
+        suffix = f"_t{ti}" if times > 1 else ""
+        for bi, i in enumerate(indices):
+            sample = samples[bi]
+            gen = concat_6_views(imgs[bi], oneline=True)
+            rows = [gen]
+            if cfg["runner"].get("validation_show_box"):
+                boxed = draw_boxes_on_views(
+                    imgs[bi], np.asarray(sample["boxes"]),
+                    np.asarray(sample["labels"]),
+                    np.asarray(sample["lidar2image"]),
+                    np.asarray(sample["img_aug_matrix"]),
+                    classes=cfg["dataset"]["object_classes"]) / 255.0
+                rows.append(concat_6_views(boxed, oneline=True))
+            grid = np.concatenate(rows, axis=0)
+            Image.fromarray(
+                (np.clip(grid, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(out_dir, f"{i}_gen{suffix}.png"))
+            if ti == 0:
+                mp = visualize_map(sample["bev_map"],
+                                   cfg["dataset"]["map_classes"],
+                                   cfg["dataset"]["object_classes"])
+                Image.fromarray(mp).save(
+                    os.path.join(out_dir, f"{i}_map.png"))
+            print(f"generated {i}{suffix} -> {out_dir}")
     return out_dir
 
 
