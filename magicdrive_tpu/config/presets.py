@@ -134,6 +134,13 @@ def micro_debug(n_cam: int = 6) -> ModelPreset:
     )
 
 
+def micro_video_debug(n_frames: int = 4, n_cam: int = 6) -> ModelPreset:
+    """Minimal-shape VIDEO preset for frame-axis sharding dry-runs."""
+    base = micro_debug(n_cam=n_cam)
+    unet = dataclasses.replace(base.unet, temporal_frames=n_frames)
+    return dataclasses.replace(base, name="micro-video-debug", unet=unet)
+
+
 def preset_from_config(cfg) -> ModelPreset:
     """Build a ModelPreset from a composed YAML config tree
     (magicdrive_tpu.config.loader.compose over repo ``configs/``)."""

@@ -130,7 +130,7 @@ class MagicDrivePipeline:
 def _generate_fn(pipe: MagicDrivePipeline, params, latents, batch, key=None):
     m, cfg, coeffs = pipe.m, pipe.cfg, pipe.coeffs
     if latents is None:
-        B = batch["input_ids"].shape[0]
+        B = batch["camera_param"].shape[0]
         c = pipe.cfg
         lat = jax.random.normal(
             key, (B, 1, c.latent_height, c.latent_width, 4), jnp.float32)
@@ -139,8 +139,15 @@ def _generate_fn(pipe: MagicDrivePipeline, params, latents, batch, key=None):
     B, N = latents.shape[:2]
 
     # ---- frozen text encoder (cond + uncond) ----
-    text, _ = m.clip.apply(params["clip"], batch["input_ids"])
-    uncond_text, _ = m.clip.apply(params["clip"], batch["uncond_ids"])
+    # pre-encoded text may be passed instead of token ids (the reference's
+    # prompt_embeds / negative_prompt_embeds path,
+    # ref:pipeline_bev_controlnet.py:129-131)
+    if "prompt_embeds" in batch:
+        text = batch["prompt_embeds"]
+        uncond_text = batch["uncond_embeds"]
+    else:
+        text, _ = m.clip.apply(params["clip"], batch["input_ids"])
+        uncond_text, _ = m.clip.apply(params["clip"], batch["uncond_ids"])
 
     # ---- CFG-duplicated conditioning, uncond first ----
     cn_vars = params["controlnet"]

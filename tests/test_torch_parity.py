@@ -425,3 +425,193 @@ def test_ddim_parity(torch_env):
                                   state)
         x_j = np.asarray(x_next)
     np.testing.assert_allclose(x_j, tx.numpy(), atol=1e-4, rtol=1e-3)
+
+
+def test_full_pipeline_parity(torch_env):
+    """The COMPOSED reference pipeline (StableDiffusionBEVControlNetPipeline:
+    CFG prompt assembly, map duplication, uncond kwargs, 20 UniPC steps of
+    ControlNet+multiview-UNet, VAE decode — ref:pipeline_bev_controlnet.py:
+    114-498) vs our one-jit MagicDrivePipeline, with converted weights, from
+    identical initial latents. This is the offline FID-parity proxy
+    (VERDICT r1 item 3)."""
+    torch = torch_env
+    sys.path.insert(0, REFERENCE)
+    try:
+        from magicdrive.networks.unet_addon_rawbox import BEVControlNetModel
+        from magicdrive.networks.unet_2d_condition_multiview import (
+            UNet2DConditionModelMultiview,
+        )
+        from magicdrive.pipeline.pipeline_bev_controlnet import (
+            StableDiffusionBEVControlNetPipeline,
+        )
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference magicdrive import failed: {e}")
+
+    from diffusers.models.autoencoder_kl import AutoencoderKL as TorchVAE
+    from diffusers.schedulers.scheduling_unipc_multistep import (
+        UniPCMultistepScheduler,
+    )
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModel as HFModel
+
+    from magicdrive_tpu.convert.torch_weights import convert_module
+    from magicdrive_tpu.models.controlnet import (
+        BEVControlNet, BEVControlNetConfig,
+    )
+    from magicdrive_tpu.models.embedders import BBoxEmbedderConfig
+    from magicdrive_tpu.models.unet import (
+        NUSCENES_NEIGHBORS, UNet2DConditionModel as JaxUNet, UNetConfig,
+    )
+    from magicdrive_tpu.models.vae import AutoencoderKL, VAEConfig
+    from magicdrive_tpu.pipeline.pipeline import (
+        MagicDriveModules, MagicDrivePipeline, PipelineConfig,
+    )
+    from magicdrive_tpu.diffusion.schedules import NoiseSchedule
+
+    C = 32
+    B, N, L = 1, 6, 5
+    h, w = 28, 50
+    steps = 20
+
+    # ---- torch modules at real 224x400 latent shapes, C=32 channels ----
+    tcn = BEVControlNetModel(
+        in_channels=4, block_out_channels=(C, C, 2 * C, 2 * C),
+        layers_per_block=2, cross_attention_dim=C, attention_head_dim=4,
+        norm_num_groups=8,
+        conditioning_embedding_out_channels=(4, 8, 16, 16),
+        camera_in_dim=189, camera_out_dim=C,
+        map_size=(8, 200, 200), uncond_cam_in_dim=(3, 7),
+        use_uncond_map=None, drop_cond_ratio=0.0, drop_cam_num=1,
+        cam_embedder_param={"input_dims": 3, "num_freqs": 4,
+                            "include_input": True, "log_sampling": True},
+        bbox_embedder_cls="magicdrive.networks.bbox_embedder."
+                          "ContinuousBBoxWithTextEmbedding",
+        bbox_embedder_param={
+            "n_classes": 10, "class_token_dim": C,
+            "trainable_class_token": False, "use_text_encoder_init": False,
+            "embedder_num_freq": 4, "proj_dims": [C, 16, 16, C],
+            "mode": "all-xyz", "minmax_normalize": False},
+    ).eval()
+    tunet = UNet2DConditionModelMultiview(
+        block_out_channels=(C, C, 2 * C, 2 * C), layers_per_block=2,
+        cross_attention_dim=C, attention_head_dim=4, norm_num_groups=8,
+        down_block_types=("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",),
+        up_block_types=("UpBlock2D",) + ("CrossAttnUpBlock2D",) * 3,
+        neighboring_view_pair={0: [5, 1], 1: [0, 2], 2: [1, 3],
+                               3: [2, 4], 4: [3, 5], 5: [4, 0]},
+        neighboring_attn_type="add", zero_module_type="zero_linear",
+        crossview_attn_type="basic", sample_size=h).eval()
+    tvae = TorchVAE(block_out_channels=(16, 16, 32, 32),
+                    down_block_types=("DownEncoderBlock2D",) * 4,
+                    up_block_types=("UpDecoderBlock2D",) * 4,
+                    layers_per_block=1, norm_num_groups=8,
+                    latent_channels=4).eval()
+    # un-zero the zero-init paths so ControlNet residuals and cross-view
+    # attention are live (otherwise the test degenerates to stock SD)
+    with torch.no_grad():
+        for name, p in tcn.named_parameters():
+            if "controlnet_down_blocks" in name or \
+                    "controlnet_mid_block" in name or \
+                    "conv_out" in name.split(".")[-2:][0]:
+                p.copy_(torch.randn_like(p) * 0.02)
+        for name, p in tunet.named_parameters():
+            if "connector" in name or "attn4" in name:
+                p.copy_(torch.randn_like(p) * 0.05)
+
+    sched = UniPCMultistepScheduler(
+        beta_start=0.00085, beta_end=0.012, beta_schedule="scaled_linear",
+        solver_order=2, prediction_type="epsilon")
+    dummy_text = HFModel(HFConfig(
+        vocab_size=64, hidden_size=C, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=77)).eval()  # only .dtype is consulted
+    tpipe = StableDiffusionBEVControlNetPipeline(
+        vae=tvae, text_encoder=dummy_text, tokenizer=None, unet=tunet,
+        controlnet=tcn, scheduler=sched, safety_checker=None,
+        feature_extractor=None, requires_safety_checker=False)
+
+    # ---- our modules with the SAME (converted) weights ----
+    ucfg = UNetConfig(block_out_channels=(C, C, 2 * C, 2 * C),
+                      layers_per_block=2, num_attention_heads=4,
+                      cross_attention_dim=C, norm_num_groups=8,
+                      neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cncfg = BEVControlNetConfig(
+        unet=UNetConfig(block_out_channels=(C, C, 2 * C, 2 * C),
+                        layers_per_block=2, num_attention_heads=4,
+                        cross_attention_dim=C, norm_num_groups=8,
+                        neighboring_view_pair=None),
+        camera_out_dim=C, map_size=(8, 200, 200),
+        map_embedder_out_channels=(4, 8, 16, 16),
+        bbox=BBoxEmbedderConfig(n_classes=10, class_token_dim=C,
+                                proj_dims=(C, 16, 16, C)),
+        drop_cond_ratio=0.0)
+    vcfg = VAEConfig(block_out_channels=(16, 16, 32, 32), layers_per_block=1,
+                     norm_num_groups=8)
+    jcn, junet, jvae = BEVControlNet(cncfg), JaxUNet(ucfg), AutoencoderKL(vcfg)
+
+    rs = np.random.RandomState(0)
+    cam = rs.randn(B, N, 3, 7).astype(np.float32)
+    text = rs.randn(B, 77, C).astype(np.float32) * 0.1
+    neg = rs.randn(B, 77, C).astype(np.float32) * 0.1
+    bev = (rs.rand(B, 200, 200, 8) > 0.5).astype(np.float32)
+    bboxes = rs.randn(B, N, L, 8, 3).astype(np.float32)
+    classes = rs.randint(0, 10, (B, N, L)).astype(np.int32)
+    masks = (rs.rand(B, N, L) > 0.3).astype(np.float32)
+    lat0 = rs.randn(B, 4, h, w).astype(np.float32)
+
+    cn_vars = jcn.init(
+        jax.random.PRNGKey(0), jnp.zeros((B, N, h, w, 4)),
+        jnp.zeros((B,), jnp.int32), jnp.asarray(cam), jnp.asarray(text),
+        jnp.asarray(bev), jnp.asarray(bboxes), jnp.asarray(classes),
+        jnp.asarray(masks))
+    unet_vars = junet.init(
+        jax.random.PRNGKey(1), jnp.zeros((B * N, h, w, 4)),
+        jnp.zeros((B * N,), jnp.int32), jnp.zeros((B * N, 1 + 77 + L, C)))
+    vae_vars = jvae.init(jax.random.PRNGKey(2),
+                         jnp.zeros((1, 8 * h, 8 * w, 3)))
+    cn_conv, _ = convert_module(cn_vars, _sd(tcn))
+    unet_conv, _ = convert_module(unet_vars, _sd(tunet))
+    vae_conv, _ = convert_module(vae_vars, _sd(tvae))
+
+    # ---- reference composed pipeline ----
+    with torch.no_grad():
+        t_imgs = tpipe(
+            prompt=None, image=torch.from_numpy(bev.transpose(0, 3, 1, 2)),
+            camera_param=torch.from_numpy(cam), height=8 * h, width=8 * w,
+            num_inference_steps=steps, guidance_scale=2.0,
+            latents=torch.from_numpy(lat0),
+            prompt_embeds=torch.from_numpy(text),
+            negative_prompt_embeds=torch.from_numpy(neg),
+            output_type="numpy", controlnet_conditioning_scale=1.0,
+            bev_controlnet_kwargs={"bboxes_3d_data": {
+                "bboxes": torch.from_numpy(bboxes),
+                "classes": torch.from_numpy(classes.astype(np.int64)),
+                "masks": torch.from_numpy(masks)}},
+        ).images
+
+    # ---- ours, one jitted call ----
+    modules = MagicDriveModules(
+        unet=junet, controlnet=jcn, vae=jvae, clip=None,
+        schedule=NoiseSchedule.create())
+    pcfg = PipelineConfig(num_inference_steps=steps, guidance_scale=2.0,
+                          conditioning_scale=1.0, sampler="unipc",
+                          latent_height=h, latent_width=w, n_cam=N,
+                          dtype=jnp.float32)
+    params = {"unet": unet_conv, "controlnet": cn_conv, "vae": vae_conv}
+    pipe = MagicDrivePipeline(modules, params, pcfg)
+    batch = {
+        "camera_param": jnp.asarray(cam),
+        "bev_map": jnp.asarray(bev),
+        "bboxes": jnp.asarray(bboxes),
+        "classes": jnp.asarray(classes),
+        "masks": jnp.asarray(masks),
+        "prompt_embeds": jnp.asarray(text),
+        "uncond_embeds": jnp.asarray(neg),
+    }
+    latents = jnp.broadcast_to(
+        jnp.asarray(lat0.transpose(0, 2, 3, 1))[:, None],
+        (B, N, h, w, 4))
+    j_imgs = np.asarray(pipe(batch, latents=latents))
+
+    assert t_imgs.shape == j_imgs.shape == (B, N, 8 * h, 8 * w, 3)
+    np.testing.assert_allclose(j_imgs, t_imgs, atol=1e-2)
