@@ -8,6 +8,11 @@ import numpy as np
 from magicdrive_tpu.config.presets import init_params, tiny_debug
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # repeated tiny-controlnet compiles
+
+
 def _setup(**cn_overrides):
     preset = tiny_debug()
     if cn_overrides:

@@ -62,6 +62,7 @@ def test_top_center_crop_geometry():
     assert out.size == (1600, 892)
 
 
+@pytest.mark.slow  # InceptionV3 forwards on CPU
 def test_token_paired_fid_end_to_end(mini_nuscenes, gen_tree):  # noqa: F811
     root, version = mini_nuscenes
     gen_root, _ = gen_tree
@@ -79,6 +80,7 @@ def test_token_paired_fid_end_to_end(mini_nuscenes, gen_tree):  # noqa: F811
     assert fid_nocrop != fid
 
 
+@pytest.mark.slow
 def test_paths_mode_identical_dirs_near_zero(gen_tree):
     gen_root, _ = gen_tree
     import tools.fid as fid_tool

@@ -9,6 +9,11 @@ from magicdrive_tpu.data.fixtures import make_dataset
 from magicdrive_tpu.pipeline.given_view import GivenViewPipeline
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e given-view pipeline
+
+
 def test_given_view_keeps_given_and_generates_rest():
     preset = tiny_debug()
     modules = preset.modules(dtype=jnp.float32)

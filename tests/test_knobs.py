@@ -10,6 +10,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from magicdrive_tpu.config.loader import compose
 from magicdrive_tpu.config.presets import (
@@ -61,6 +62,7 @@ def _unzero_residual_convs(params, scale=0.05):
     return params
 
 
+@pytest.mark.slow  # two micro-pipeline compiles
 def test_guess_mode_identity_at_init():
     """At init the zero-init output convs make all residuals zero, and the
     guess-mode uncond token assembly equals the standard uncond branch —
@@ -76,6 +78,7 @@ def test_guess_mode_identity_at_init():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_guess_mode_diverges_with_live_residuals():
     """With nonzero residual convs, guess mode (cond-only ControlNet with
     logspace scaling, zero uncond residuals) must differ from standard CFG."""
@@ -94,6 +97,7 @@ def test_guess_mode_diverges_with_live_residuals():
     assert np.abs(a - b).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_use_uncond_map_changes_uncond_branch():
     """use_uncond_map=negative1: the CFG uncond branch sees a -1 map instead
     of the scene map (ref:unet_addon_rawbox.py:188-202, 625-682), changing

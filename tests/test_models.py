@@ -22,6 +22,11 @@ TINY_UNET = UNetConfig(
 N_CAM = 6
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full tiny-model jits
+
+
 def test_unet_forward_and_residual_shapes():
     model = UNet2DConditionModel(TINY_UNET)
     x = jnp.zeros((N_CAM, 16, 16, 4))

@@ -9,6 +9,11 @@ from magicdrive_tpu.config.presets import tiny_debug, init_params
 from magicdrive_tpu.pipeline.pipeline import MagicDrivePipeline
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e tiny pipeline compile
+
+
 def make_batch(preset, B=1):
     p = preset.pipeline
     N, L = p.n_cam, preset.bbox_max_len

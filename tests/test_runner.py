@@ -13,6 +13,9 @@ from magicdrive_tpu.data.fixtures import make_dataset
 from magicdrive_tpu.train.runner import Runner
 from magicdrive_tpu.utils.serialization import load_params, save_params
 
+pytestmark = pytest.mark.slow  # full train-loop runs
+
+
 CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 

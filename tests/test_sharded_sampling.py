@@ -15,6 +15,9 @@ from magicdrive_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from magicdrive_tpu.pipeline.pipeline import MagicDrivePipeline
 
 
+pytestmark = pytest.mark.slow  # 8-device pipeline compile
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sampling_dp_sharded():
     preset = tiny_debug()

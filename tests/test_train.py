@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from magicdrive_tpu.config.presets import tiny_debug, init_params
 from magicdrive_tpu.data.collate import CollateConfig, collate_fn
@@ -48,6 +49,7 @@ def test_drop_mask_semantics():
     assert (m2.sum(-1) == 2).all()
 
 
+@pytest.mark.slow  # jits the full tiny train step (~3 min CPU)
 def test_train_step_runs_and_updates_only_trainable():
     preset = tiny_debug()
     modules = preset.modules(dtype=jnp.float32)

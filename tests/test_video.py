@@ -6,6 +6,11 @@ import numpy as np
 from magicdrive_tpu.core.transformer import BasicTransformerBlock
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e video pipeline/training
+
+
 def test_temporal_block_identity_at_init():
     """zero-init connector_temp => temporal block leaves outputs unchanged."""
     neighbors = tuple(((i - 1) % 6, (i + 1) % 6) for i in range(6))

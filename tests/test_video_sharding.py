@@ -27,8 +27,11 @@ from magicdrive_tpu.train.train_step import make_train_step
 
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [
+    pytest.mark.slow,  # 8-device mesh compiles
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 virtual devices"),
+]
 
 F = 4  # frames per clip
 CLIPS = 2
