@@ -8,12 +8,24 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm computed in fp32, output cast back to compute dtype."""
+    """GroupNorm computed in fp32, output cast back to compute dtype.
+
+    Channel-major formulation: per-CHANNEL sum / sum-of-squares first
+    (a lane-aligned reduction over rows), then the tiny (C,) -> (G,)
+    group combine, then one fused scale/bias broadcast. Mathematically
+    flax's nn.GroupNorm (same E[x^2]-E[x]^2 fast variance), but avoids
+    XLA's reshape-to-(G, C/G) grouped reduce, which is lane-misaligned for
+    SD's 10-channels-per-group layout and measured ~8x below HBM
+    speed-of-light on TPU (PERFORMANCE.md round-2 trace: 21% of the whole
+    pipeline in GroupNorm stat fusions).
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -21,10 +33,24 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon,
-            dtype=jnp.float32, param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        x32 = x.astype(jnp.float32)
+        red = tuple(range(1, x.ndim - 1))
+        n = np.prod([x.shape[i] for i in red]) * (c // g)
+        s = jnp.sum(x32, axis=red)                      # (B, C)
+        ss = jnp.sum(x32 * x32, axis=red)               # (B, C)
+        gm = s.reshape(-1, g, c // g).sum(-1) / n       # (B, G)
+        gm2 = ss.reshape(-1, g, c // g).sum(-1) / n
+        rstd = jax.lax.rsqrt(gm2 - gm * gm + self.epsilon)
+        mul = jnp.repeat(rstd, c // g, axis=1) * scale            # (B, C)
+        add = bias - jnp.repeat(gm * rstd, c // g, axis=1) * scale
+        shape = (x.shape[0],) + (1,) * len(red) + (c,)
+        y = x32 * mul.reshape(shape) + add.reshape(shape)
         return y.astype(self.dtype)
 
 

@@ -8,8 +8,9 @@ attention uses (self, text-cross, cross-view): O(L) memory online-softmax
 tiling, fp32 accumulation, bf16 MXU matmuls.
 
 Layout: the public entry takes diffusers-style (..., L, H, D) tensors, maps
-them to (BH, L, D) internally, pads L/Lk to block multiples and D to the
-128-lane tile, and stores per-row logsumexp for the backward pass. The
+them to (BH, L, D) internally and pads L/Lk to block multiples; the depth
+stays at its logical size (Mosaic lane-pads VMEM tiles internally — no
+padded HBM copies). Per-row logsumexp is stored for the backward pass. The
 backward is the standard two-kernel FlashAttention-2 scheme: a dq pass
 (grid over q blocks, reduce over k blocks) and a dk/dv pass (grid over k
 blocks, reduce over q blocks), with delta = rowsum(dO * O) precomputed.
@@ -272,7 +273,9 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
     # VMEM-safe blocks and re-pad. Zero-padded q rows are harmless: dO=0
     # there makes their dK/dV contributions vanish, and their dq rows are
     # sliced off; padded k columns are masked by kv_len inside the kernels.
-    block_q, block_k = _auto_blocks_bwd(Lq_in, Lk_in, D, q.dtype.itemsize)
+    block_q, block_k = _auto_blocks_bwd(Lq_in, Lk_in,
+                                        max(_ceil_to(D, 128), 128),
+                                        q.dtype.itemsize)
     block_q = _pick_block(Lq_in, block_q)
     block_k = _pick_block(Lk_in, block_k)
     Lq, Lk = _ceil_to(Lq_in, block_q), _ceil_to(Lk_in, block_k)
@@ -444,6 +447,11 @@ def flash_attention(
 
     qf, kf, vf = to_bh(q, Lq), to_bh(k, Lk), to_bh(v, Lk)
 
+    # VMEM block budgeting uses the LANE-padded depth (Mosaic pads the last
+    # dim of every VMEM tile to 128), but the HBM tensors stay at D: blocks
+    # of logical depth 40 avoid materializing 3.2x-inflated padded q/k/v
+    # copies in HBM (the round-1 kernel's jnp.pad to D=128 cost ~0.4 s of
+    # pad+slice traffic per 224x400 pipeline call — see PERFORMANCE.md).
     d_pad = max(_ceil_to(D, 128), 128)
     if block_q is None or block_k is None:
         auto_q, auto_k = _auto_blocks(Lq, Lk, d_pad, q.dtype.itemsize)
@@ -452,11 +460,13 @@ def flash_attention(
     bq = _pick_block(Lq, block_q)
     bk = _pick_block(Lk, block_k)
     Lq_p, Lk_p = _ceil_to(Lq, bq), _ceil_to(Lk, bk)
-    D_p = d_pad
 
-    pad = lambda t, L_p: jnp.pad(
-        t, ((0, 0), (0, L_p - t.shape[1]), (0, D_p - D)))
+    def pad(t, L_p):
+        if t.shape[1] == L_p:
+            return t
+        return jnp.pad(t, ((0, 0), (0, L_p - t.shape[1]), (0, 0)))
+
     o = _flash_core(pad(qf, Lq_p), pad(kf, Lk_p), pad(vf, Lk_p),
                     scale, Lk, bq, bk, interpret)
-    o = o[:, :Lq, :D].reshape(B, H, Lq, D).transpose(0, 2, 1, 3)
+    o = o[:, :Lq].reshape(B, H, Lq, D).transpose(0, 2, 1, 3)
     return o.reshape(*lead, Lq, H, D).astype(orig_dtype)
