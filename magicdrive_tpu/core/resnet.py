@@ -14,17 +14,20 @@ import flax.linen as nn
 import numpy as np
 
 
+# Trace-time GroupNorm formulation knob (same params, same math, different
+# XLA graph): "channel" = per-channel sum/sumsq then (C,)->(G,) combine;
+# "grouped" = reshape-to-(G, C/G) grouped reduce (flax's lowering). Both
+# match flax nn.GroupNorm to ~1e-6 fp32; A/B-able on real hardware because
+# the tunnel's per-op profiler reports cost-model (not measured) times.
+GN_IMPL = "channel"
+
+
 class GroupNorm(nn.Module):
     """GroupNorm computed in fp32, output cast back to compute dtype.
 
-    Channel-major formulation: per-CHANNEL sum / sum-of-squares first
-    (a lane-aligned reduction over rows), then the tiny (C,) -> (G,)
-    group combine, then one fused scale/bias broadcast. Mathematically
-    flax's nn.GroupNorm (same E[x^2]-E[x]^2 fast variance), but avoids
-    XLA's reshape-to-(G, C/G) grouped reduce, which is lane-misaligned for
-    SD's 10-channels-per-group layout and measured ~8x below HBM
-    speed-of-light on TPU (PERFORMANCE.md round-2 trace: 21% of the whole
-    pipeline in GroupNorm stat fusions).
+    Params are ``scale``/``bias`` at this module's own scope (no flax
+    ``GroupNorm_0`` nesting) so checkpoints are identical for every
+    ``GN_IMPL`` formulation.
     """
 
     num_groups: int = 32
@@ -40,6 +43,14 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         x32 = x.astype(jnp.float32)
+        if GN_IMPL == "grouped":
+            shp = x.shape
+            xg = x32.reshape(shp[0], -1, g, c // g)
+            gm = xg.mean(axis=(1, 3), keepdims=True)
+            gm2 = (xg * xg).mean(axis=(1, 3), keepdims=True)
+            rstd = jax.lax.rsqrt(gm2 - gm * gm + self.epsilon)
+            y = ((xg - gm) * rstd).reshape(shp) * scale + bias
+            return y.astype(self.dtype)
         red = tuple(range(1, x.ndim - 1))
         n = np.prod([x.shape[i] for i in red]) * (c // g)
         s = jnp.sum(x32, axis=red)                      # (B, C)
