@@ -91,6 +91,14 @@ class Attention(nn.Module):
 
     Query from ``x``; key/value from ``context`` (defaults to ``x`` for
     self-attention). Output projection ``to_out``. No dropout at inference.
+
+    Besides ``__call__``, the projection stages are exposed separately
+    (``project_q`` / ``project_kv`` / ``project_out``) so callers that reuse
+    one projection across several attention cores — the cross-view block
+    projects each view's K/V once and gathers them per neighbor — don't pay
+    the matmul twice. ``project_out(o, n_summed=k)`` reproduces the sum of
+    ``k`` per-neighbor output projections (ref:blocks.py:213-217):
+    ``sum_i to_out(o_i) == W @ sum_i o_i + k * bias``.
     """
 
     query_dim: int
@@ -101,25 +109,41 @@ class Attention(nn.Module):
     out_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, context=None, bias=None):
-        context = x if context is None else context
+    def setup(self):
         inner = self.heads * self.dim_head
         dense = functools.partial(
             nn.Dense, use_bias=self.use_bias, dtype=self.dtype,
             param_dtype=jnp.float32,
         )
-        q = dense(inner, name="to_q")(x)
-        k = dense(inner, name="to_k")(context)
-        v = dense(inner, name="to_v")(context)
-
-        def split(t):
-            return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
-
-        out = dot_product_attention(split(q), split(k), split(v), bias=bias)
-        out = out.reshape(*out.shape[:-2], inner)
-        out = nn.Dense(
+        self.to_q = dense(inner, name="to_q")
+        self.to_k = dense(inner, name="to_k")
+        self.to_v = dense(inner, name="to_v")
+        self.to_out = nn.Dense(
             self.query_dim, use_bias=self.out_bias, dtype=self.dtype,
             param_dtype=jnp.float32, name="to_out",
-        )(out)
+        )
+
+    def _split(self, t):
+        return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
+
+    def project_q(self, x):
+        return self._split(self.to_q(x))
+
+    def project_kv(self, context):
+        return self._split(self.to_k(context)), self._split(self.to_v(context))
+
+    def project_out(self, o, n_summed: int = 1):
+        inner = self.heads * self.dim_head
+        out = self.to_out(o.reshape(*o.shape[:-2], inner))
+        if n_summed > 1 and self.out_bias:
+            # zeros matmul constant-folds to the bias vector under jit
+            extra = self.to_out(jnp.zeros((1, inner), self.dtype))
+            out = out + (n_summed - 1) * extra
         return out
+
+    def __call__(self, x, context=None, bias=None):
+        context = x if context is None else context
+        q = self.project_q(x)
+        k, v = self.project_kv(context)
+        out = dot_product_attention(q, k, v, bias=bias)
+        return self.project_out(out)

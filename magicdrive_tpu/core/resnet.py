@@ -21,6 +21,18 @@ import numpy as np
 # the tunnel's per-op profiler reports cost-model (not measured) times.
 GN_IMPL = "channel"
 
+# Norm-apply precision knob (GroupNorm and the transformer LayerNorms):
+# "fp32" (default) computes y = x*mul+add in fp32 before casting to the
+# compute dtype; "compute" folds the (tiny, fp32-derived) mul/add to the
+# compute dtype and applies in bf16 — statistics stay fp32 either way.
+# Kills any fp32-materialized apply intermediates at a ~1e-3 bf16 rounding
+# cost; A/B-able on real hardware.
+NORM_APPLY = "fp32"
+
+# Debug-only: skip all norm math (params still created) so wall-time
+# ablations can isolate the total norm cost. Never set in real models.
+NORM_IDENTITY = False
+
 
 class GroupNorm(nn.Module):
     """GroupNorm computed in fp32, output cast back to compute dtype.
@@ -41,6 +53,8 @@ class GroupNorm(nn.Module):
         assert c % g == 0, (c, g)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if NORM_IDENTITY:
+            return x.astype(self.dtype)
 
         x32 = x.astype(jnp.float32)
         if GN_IMPL == "grouped":
@@ -61,6 +75,9 @@ class GroupNorm(nn.Module):
         mul = jnp.repeat(rstd, c // g, axis=1) * scale            # (B, C)
         add = bias - jnp.repeat(gm * rstd, c // g, axis=1) * scale
         shape = (x.shape[0],) + (1,) * len(red) + (c,)
+        if NORM_APPLY == "compute" and self.dtype != jnp.float32:
+            return (x.astype(self.dtype) * mul.astype(self.dtype).reshape(shape)
+                    + add.astype(self.dtype).reshape(shape))
         y = x32 * mul.reshape(shape) + add.reshape(shape)
         return y.astype(self.dtype)
 

@@ -15,11 +15,12 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
 
-from .attention import Attention
+from .attention import Attention, dot_product_attention
 
 
 def zeros_dense(features, dtype, name):
@@ -59,14 +60,44 @@ class FeedForward(nn.Module):
                         name="net_2")(h)
 
 
+class _LNCore(nn.Module):
+    """LayerNorm with fp32 statistics and a selectable apply precision.
+
+    Named ``LayerNorm_0`` by its wrapper so the param tree matches the
+    previous flax ``nn.LayerNorm`` child scope (checkpoint compatibility).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from . import resnet as _rn
+
+        NORM_APPLY = _rn.NORM_APPLY
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if _rn.NORM_IDENTITY:
+            return x.astype(self.dtype)
+        x32 = x.astype(jnp.float32)
+        m = jnp.mean(x32, axis=-1, keepdims=True)
+        m2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + self.epsilon)
+        mul = rstd * scale
+        add = bias - m * rstd * scale
+        if NORM_APPLY == "compute" and self.dtype != jnp.float32:
+            return (x.astype(self.dtype) * mul.astype(self.dtype)
+                    + add.astype(self.dtype))
+        return (x32 * mul + add).astype(self.dtype)
+
+
 class LayerNorm32(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                         param_dtype=jnp.float32)(x.astype(jnp.float32))
-        return y.astype(self.dtype)
+        return _LNCore(self.dtype, name="LayerNorm_0")(x)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -156,31 +187,50 @@ class BasicTransformerBlock(nn.Module):
                           cross_attention_dim=self.dim, dtype=self.dtype,
                           name="attn4")
 
+        # Every view serves as both query and (some neighbor's) key/value, so
+        # q/k/v are projected ONCE per view here and gathered per neighbor —
+        # the reference's per-neighbor attn4 calls re-project k/v (and the
+        # summed to_out) per neighbor, doubling those matmuls
+        # (ref:blocks.py:112-133,213-217; same math, fewer matmuls).
+        flat = rearrange(hv, "b n l c -> (b n) l c")
         if self.neighboring_attn_type == "add":
-            # One attention per neighbor, summed (ref:blocks.py:112-121,213-217).
-            q = rearrange(hv, "b n l c -> (b n) l c")
+            q = attn4.project_q(flat)
+            k, v = attn4.project_kv(flat)
+            kv_view = [rearrange(t, "(b n) l h d -> b n l h d", n=n_cam)
+                       for t in (k, v)]
             if self.neighbor_batched:
                 # Fold the k neighbors into a leading batch axis: ONE
                 # attention call (fewer, larger MXU launches; q is
                 # broadcast, k/v gathered per neighbor), then sum.
-                kv = jnp.take(hv, neighbors.T.reshape(-1), axis=1)  # b (k n) l c
-                kv = rearrange(kv, "b (k n) l c -> k (b n) l c", k=n_nb)
-                o = attn4(jnp.broadcast_to(q[None], kv.shape), kv)
-                out = o.sum(axis=0)
+                kn, vn = (rearrange(
+                    jnp.take(t, neighbors.T.reshape(-1), axis=1),
+                    "b (k n) l h d -> k (b n) l h d", k=n_nb)
+                    for t in kv_view)
+                o = dot_product_attention(
+                    jnp.broadcast_to(q[None], (n_nb,) + q.shape), kn, vn)
+                acc = o.sum(axis=0)
             else:
-                # Sequential over the (tiny) neighbor axis: queries are
-                # shared, so no q/kv duplication — halves peak activation
-                # memory (decisive for the 16-frame video model).
-                out = None
+                # Sequential over the (tiny) neighbor axis: halves peak
+                # activation memory (decisive for the 16-frame video model).
+                acc = None
                 for nb in range(n_nb):
-                    kv = jnp.take(hv, neighbors[:, nb], axis=1)  # b n l c
-                    o = attn4(q, rearrange(kv, "b n l c -> (b n) l c"))
-                    out = o if out is None else out + o
+                    kn, vn = (rearrange(
+                        jnp.take(t, neighbors[:, nb], axis=1),
+                        "b n l h d -> (b n) l h d") for t in kv_view)
+                    o = dot_product_attention(q, kn, vn)
+                    acc = o if acc is None else acc + o
+            out = attn4.project_out(acc, n_summed=n_nb)
             out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "concat":
-            kv = jnp.take(hv, neighbors.reshape(-1), axis=1)
-            kv = rearrange(kv, "b (n k) l c -> (b n) (k l) c", k=n_nb)
-            out = attn4(rearrange(hv, "b n l c -> (b n) l c"), kv)
+            # concat of projections == projection of the concat, so K/V are
+            # likewise projected once per view and gathered.
+            q = attn4.project_q(flat)
+            k, v = attn4.project_kv(flat)
+            kn, vn = (rearrange(
+                jnp.take(rearrange(t, "(b n) l h d -> b n l h d", n=n_cam),
+                         neighbors.reshape(-1), axis=1),
+                "b (n k) l h d -> (b n) (k l) h d", k=n_nb) for t in (k, v))
+            out = attn4.project_out(dot_product_attention(q, kn, vn))
             out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "self":
             out = attn4(rearrange(hv, "b n l c -> b (n l) c"), None)

@@ -32,6 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _clean_v(v, row_offset, kv_len):
+    """Zero out-of-bounds value rows (partial edge blocks read unspecified
+    memory; 0 * garbage in the PV matmul would poison every output row —
+    masked p columns are zero, but 0 * NaN = NaN). A (bk, D)-sized select,
+    ~bq/D times cheaper than masking the logits tile."""
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + row_offset
+    return jnp.where(row < kv_len, v, jnp.zeros_like(v))
+
+
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -92,8 +101,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)                  # (bq, bk) fp32
     l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    vv = v_ref[0] if kv_len % block_k == 0 \
+        else _clean_v(v_ref[0], j * block_k, kv_len)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot(
-        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32)
+        p.astype(v_ref.dtype), vv, preferred_element_type=jnp.float32)
     m_scr[:] = m_new
     l_scr[:] = l_new
 
@@ -119,14 +130,16 @@ def _fwd_kernel_nk1(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # (bq, bk)
+    vv = v_ref[0]
     if kv_len < s.shape[1]:  # mask padded keys (static condition)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < kv_len, s, NEG_INF)
+        vv = _clean_v(vv, 0, kv_len)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
     o_ref[0] = (jax.lax.dot(
-        p.astype(v_ref.dtype), v_ref[0],
+        p.astype(v_ref.dtype), vv,
         preferred_element_type=jnp.float32) / l).astype(o_ref.dtype)
     if lse_ref is not None:
         lse_ref[0] = m + jnp.log(l)
@@ -134,7 +147,14 @@ def _fwd_kernel_nk1(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
 
 def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
                with_lse: bool = True):
-    """q: (BH, Lq, D) padded; k/v: (BH, Lk, D) padded; kv_len = true Lk.
+    """q: (BH, Lq, D); k/v: (BH, Lk, D); kv_len = true Lk.
+
+    Lq/Lk need NOT be multiples of the block sizes: the grid is ceil-divided
+    and the edge blocks are partially out-of-bounds — OOB key columns are
+    masked to -inf via ``kv_len`` inside the kernels, OOB query rows produce
+    garbage that stays row-local (softmax is per-row) and their writes are
+    dropped. This avoids materializing padded q/k/v copies in HBM (a full
+    tensor copy per pad at 0.6% extra rows — see PERFORMANCE.md).
 
     ``with_lse=False`` (inference) omits the logsumexp output entirely — its
     (BH, Lq, 1) layout pads the unit lane dim to 128 in HBM, a 128x blowup
@@ -142,7 +162,7 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
     """
     BH, Lq, D = q.shape
     Lk = k.shape[1]
-    nq, nk = Lq // block_q, Lk // block_k
+    nq, nk = pl.cdiv(Lq, block_q), pl.cdiv(Lk, block_k)
 
     if nk == 1:
         kernel = functools.partial(_fwd_kernel_nk1, scale=scale,
@@ -459,14 +479,13 @@ def flash_attention(
         block_k = block_k if block_k is not None else auto_k
     bq = _pick_block(Lq, block_q)
     bk = _pick_block(Lk, block_k)
-    Lq_p, Lk_p = _ceil_to(Lq, bq), _ceil_to(Lk, bk)
 
-    def pad(t, L_p):
-        if t.shape[1] == L_p:
-            return t
-        return jnp.pad(t, ((0, 0), (0, L_p - t.shape[1]), (0, 0)))
-
-    o = _flash_core(pad(qf, Lq_p), pad(kf, Lk_p), pad(vf, Lk_p),
-                    scale, Lk, bq, bk, interpret)
-    o = o[:, :Lq].reshape(B, H, Lq, D).transpose(0, 2, 1, 3)
+    # Fold the softmax scale into q outside the kernel: a (BH, L, D) multiply
+    # XLA fuses into the projection epilogue, replacing a per-(bq, bk)-tile
+    # VPU multiply inside the kernel (35x more elements at L=1400, D=40).
+    # The outer autodiff of this multiply also keeps the backward exact with
+    # scale=1.0 inside the custom_vjp.
+    qf = (qf.astype(jnp.float32) * scale).astype(qf.dtype)
+    o = _flash_core(qf, kf, vf, 1.0, Lk, bq, bk, interpret)
+    o = o.reshape(B, H, Lq, D).transpose(0, 2, 1, 3)
     return o.reshape(*lead, Lq, H, D).astype(orig_dtype)
