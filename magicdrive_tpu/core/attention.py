@@ -9,13 +9,24 @@ Three backends:
                  but materializes the (Lq, Lk) fp32 logits in HBM. Always
                  available, used as the reference implementation in tests.
   * ``pallas`` — fused flash-attention kernel (magicdrive_tpu.kernels):
-                 O(L) memory, never materializes logits, but pads the head
-                 dim to the 128-lane tile (3.2x FLOP padding at D=40).
+                 O(L) memory, never materializes logits.
   * ``auto``   — the default on TPU: pallas when the logits tile is large
                  enough that HBM traffic dominates (Lq*Lk >= 512^2 — the
                  28x50-latent self/cross-view attentions and everything
                  bigger), xla otherwise (short text-cross and the deeper
                  low-resolution levels).
+
+Head-dim lane padding: the SD-1.5 UNet's level-0 heads are D=40, and Mosaic
+executes lane-misaligned contractions ~1.45x slower than 128-lane ones
+(measured v5e, L=1400: 5.6 ms vs 3.86 ms per core) — while padding
+activations in HBM or in-kernel VMEM costs as much as it saves. The fix
+lives in the *projections*: when the core will take the pallas route and
+dim_head < 128, the projection weights themselves are zero-padded per head
+(a reshape/pad of the weight, folded by XLA; activations are never padded
+as a separate op), so q/k/v emerge (…, H, 128)-aligned and ``to_out``
+consumes the padded layout through zero weight rows. Exact math — padded
+lanes carry zeros through QK/PV and are annihilated by the zero out-rows.
+Checkpoint shapes are unchanged.
 """
 from __future__ import annotations
 
@@ -29,8 +40,10 @@ import flax.linen as nn
 _BACKEND = "auto"  # module-level default; set_attention_backend() overrides.
 
 # pallas pays off once the materialized-logits traffic the xla path would
-# incur outweighs the flash kernel's lane-padding waste
+# incur outweighs the flash kernel's launch overhead
 _AUTO_PALLAS_MIN_LOGITS = 512 * 512
+
+_LANE = 128
 
 
 def set_attention_backend(name: str) -> None:
@@ -43,12 +56,31 @@ def get_attention_backend() -> str:
     return _BACKEND
 
 
+def _pallas_route(Lq: int, Lk: int, d: int, has_bias: bool) -> bool:
+    """Whether auto dispatch sends this shape to the pallas kernel."""
+    from magicdrive_tpu.kernels.flash_attention import on_tpu_by_default
+
+    return (Lq * Lk >= _AUTO_PALLAS_MIN_LOGITS and d <= _LANE
+            and not has_bias and on_tpu_by_default())
+
+
+def head_pad_for(Lq: int, Lk: int, dim_head: int,
+                 has_bias: bool = False) -> Optional[int]:
+    """Padded head depth (128) when lane-padded projections pay off, else
+    None. Pays off exactly when the core takes the pallas route with a
+    misaligned depth."""
+    if _BACKEND == "xla" or dim_head % _LANE == 0:
+        return None
+    return _LANE if _pallas_route(Lq, Lk, dim_head, has_bias) else None
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     backend: Optional[str] = None,
+    scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Multi-head scaled dot-product attention.
 
@@ -56,34 +88,93 @@ def dot_product_attention(
       q: (..., Lq, H, D)
       k/v: (..., Lk, H, D)
       bias: optional additive bias broadcastable to (..., H, Lq, Lk)
+      scale: softmax scale; defaults to D**-0.5. Callers feeding lane-padded
+        q/k/v MUST pass the logical dim_head's scale explicitly.
     Returns: (..., Lq, H, D)
     """
     backend = backend or _BACKEND
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
     if backend == "auto":
-        # pallas when the materialized-logits traffic dominates; measured
-        # (tools/bench_attention.py, v5e): L=1400 D=40 pallas 7.5 ms vs xla
-        # 10.7 ms; the wide-head VAE attention (D=512) stays xla (2.3 vs
-        # 3.0 ms — no lane padding, efficient matmuls).
-        from magicdrive_tpu.kernels.flash_attention import on_tpu_by_default
-
-        big = q.shape[-3] * k.shape[-3] >= _AUTO_PALLAS_MIN_LOGITS
-        backend = "pallas" if (
-            big and q.shape[-1] <= 128 and bias is None
-            and on_tpu_by_default()) else "xla"
+        # measured (tools/bench_attention.py, v5e): L=1400 pallas 3.9-5.6 ms
+        # vs xla 10.7 ms; the wide-head VAE attention (D=512) stays xla
+        # (2.3 vs 3.0 ms — no lane padding, efficient matmuls).
+        backend = "pallas" if _pallas_route(
+            q.shape[-3], k.shape[-3], q.shape[-1], bias is not None) else "xla"
     if backend == "pallas" and bias is None:
         from magicdrive_tpu.kernels.flash_attention import flash_attention
 
         try:
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, scale=scale)
         except NotImplementedError:
             pass  # fall back to XLA path (e.g. CPU tests)
-    scale = q.shape[-1] ** -0.5
     # fp32 softmax for stability; inputs may be bf16.
     logits = jnp.einsum("...qhd,...khd->...hqk", q, k).astype(jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+
+class _QKVProj(nn.Module):
+    """Dense with nn.Dense's exact param layout (kernel/bias at this scope)
+    plus optional per-head zero-padding of the OUTPUT dim: kernel
+    (in, H*hd) -> (in, H, d_pad) so projections emit lane-aligned heads."""
+
+    heads: int
+    dim_head: int
+    use_bias: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, d_pad: Optional[int] = None):
+        h, hd = self.heads, self.dim_head
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], h * hd), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (h * hd,),
+                          jnp.float32) if self.use_bias else None
+        d = d_pad or hd
+        kernel = kernel.astype(self.dtype)
+        if d != hd:
+            kernel = jnp.pad(kernel.reshape(-1, h, hd),
+                             ((0, 0), (0, 0), (0, d - hd)))
+        y = x @ kernel.reshape(-1, h * d)
+        if bias is not None:
+            bias = bias.astype(self.dtype)
+            if d != hd:
+                bias = jnp.pad(bias.reshape(h, hd),
+                               ((0, 0), (0, d - hd))).reshape(-1)
+            y = y + bias
+        return y.reshape(*y.shape[:-1], h, d)
+
+
+class _OutProj(nn.Module):
+    """Output projection accepting (…, H, d) with d == dim_head or a padded
+    depth: kernel (H*hd, out) -> (H, d_pad, out) with zero rows absorbing
+    the padded lanes."""
+
+    features: int
+    heads: int
+    dim_head: int
+    use_bias: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, o, n_summed: int = 1):
+        h, hd = self.heads, self.dim_head
+        d = o.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (h * hd, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        kernel = kernel.astype(self.dtype)
+        if d != hd:
+            kernel = jnp.pad(kernel.reshape(h, hd, -1),
+                             ((0, 0), (0, d - hd), (0, 0)))
+        y = o.reshape(*o.shape[:-2], h * d) @ kernel.reshape(h * d, -1)
+        if bias is not None:
+            y = y + n_summed * bias.astype(self.dtype)
+        return y
 
 
 class Attention(nn.Module):
@@ -99,6 +190,10 @@ class Attention(nn.Module):
     the matmul twice. ``project_out(o, n_summed=k)`` reproduces the sum of
     ``k`` per-neighbor output projections (ref:blocks.py:213-217):
     ``sum_i to_out(o_i) == W @ sum_i o_i + k * bias``.
+
+    ``d_pad`` on the projections requests lane-padded heads (module
+    docstring); ``project_out`` detects the padded layout from its input
+    shape. ``__call__`` decides automatically via :func:`head_pad_for`.
     """
 
     query_dim: int
@@ -110,40 +205,33 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        inner = self.heads * self.dim_head
-        dense = functools.partial(
-            nn.Dense, use_bias=self.use_bias, dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )
-        self.to_q = dense(inner, name="to_q")
-        self.to_k = dense(inner, name="to_k")
-        self.to_v = dense(inner, name="to_v")
-        self.to_out = nn.Dense(
-            self.query_dim, use_bias=self.out_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name="to_out",
-        )
+        proj = functools.partial(_QKVProj, heads=self.heads,
+                                 dim_head=self.dim_head,
+                                 use_bias=self.use_bias, dtype=self.dtype)
+        self.to_q = proj(name="to_q")
+        self.to_k = proj(name="to_k")
+        self.to_v = proj(name="to_v")
+        self.to_out = _OutProj(self.query_dim, self.heads, self.dim_head,
+                               self.out_bias, self.dtype, name="to_out")
 
-    def _split(self, t):
-        return t.reshape(*t.shape[:-1], self.heads, self.dim_head)
+    @property
+    def scale(self) -> float:
+        return self.dim_head ** -0.5
 
-    def project_q(self, x):
-        return self._split(self.to_q(x))
+    def project_q(self, x, d_pad: Optional[int] = None):
+        return self.to_q(x, d_pad)
 
-    def project_kv(self, context):
-        return self._split(self.to_k(context)), self._split(self.to_v(context))
+    def project_kv(self, context, d_pad: Optional[int] = None):
+        return self.to_k(context, d_pad), self.to_v(context, d_pad)
 
     def project_out(self, o, n_summed: int = 1):
-        inner = self.heads * self.dim_head
-        out = self.to_out(o.reshape(*o.shape[:-2], inner))
-        if n_summed > 1 and self.out_bias:
-            # zeros matmul constant-folds to the bias vector under jit
-            extra = self.to_out(jnp.zeros((1, inner), self.dtype))
-            out = out + (n_summed - 1) * extra
-        return out
+        return self.to_out(o, n_summed)
 
     def __call__(self, x, context=None, bias=None):
         context = x if context is None else context
-        q = self.project_q(x)
-        k, v = self.project_kv(context)
-        out = dot_product_attention(q, k, v, bias=bias)
+        d_pad = head_pad_for(x.shape[-2], context.shape[-2], self.dim_head,
+                             bias is not None)
+        q = self.project_q(x, d_pad)
+        k, v = self.project_kv(context, d_pad)
+        out = dot_product_attention(q, k, v, bias=bias, scale=self.scale)
         return self.project_out(out)

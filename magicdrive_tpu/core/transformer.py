@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
 
-from .attention import Attention, dot_product_attention
+from .attention import Attention, dot_product_attention, head_pad_for
 
 
 def zeros_dense(features, dtype, name):
@@ -193,9 +193,12 @@ class BasicTransformerBlock(nn.Module):
         # summed to_out) per neighbor, doubling those matmuls
         # (ref:blocks.py:112-133,213-217; same math, fewer matmuls).
         flat = rearrange(hv, "b n l c -> (b n) l c")
+        L = flat.shape[-2]
+        scale = self.d_head ** -0.5
         if self.neighboring_attn_type == "add":
-            q = attn4.project_q(flat)
-            k, v = attn4.project_kv(flat)
+            d_pad = head_pad_for(L, L, self.d_head)
+            q = attn4.project_q(flat, d_pad)
+            k, v = attn4.project_kv(flat, d_pad)
             kv_view = [rearrange(t, "(b n) l h d -> b n l h d", n=n_cam)
                        for t in (k, v)]
             if self.neighbor_batched:
@@ -207,7 +210,8 @@ class BasicTransformerBlock(nn.Module):
                     "b (k n) l h d -> k (b n) l h d", k=n_nb)
                     for t in kv_view)
                 o = dot_product_attention(
-                    jnp.broadcast_to(q[None], (n_nb,) + q.shape), kn, vn)
+                    jnp.broadcast_to(q[None], (n_nb,) + q.shape), kn, vn,
+                    scale=scale)
                 acc = o.sum(axis=0)
             else:
                 # Sequential over the (tiny) neighbor axis: halves peak
@@ -217,20 +221,22 @@ class BasicTransformerBlock(nn.Module):
                     kn, vn = (rearrange(
                         jnp.take(t, neighbors[:, nb], axis=1),
                         "b n l h d -> (b n) l h d") for t in kv_view)
-                    o = dot_product_attention(q, kn, vn)
+                    o = dot_product_attention(q, kn, vn, scale=scale)
                     acc = o if acc is None else acc + o
             out = attn4.project_out(acc, n_summed=n_nb)
             out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "concat":
             # concat of projections == projection of the concat, so K/V are
             # likewise projected once per view and gathered.
-            q = attn4.project_q(flat)
-            k, v = attn4.project_kv(flat)
+            d_pad = head_pad_for(L, n_nb * L, self.d_head)
+            q = attn4.project_q(flat, d_pad)
+            k, v = attn4.project_kv(flat, d_pad)
             kn, vn = (rearrange(
                 jnp.take(rearrange(t, "(b n) l h d -> b n l h d", n=n_cam),
                          neighbors.reshape(-1), axis=1),
                 "b (n k) l h d -> (b n) (k l) h d", k=n_nb) for t in (k, v))
-            out = attn4.project_out(dot_product_attention(q, kn, vn))
+            out = attn4.project_out(
+                dot_product_attention(q, kn, vn, scale=scale))
             out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "self":
             out = attn4(rearrange(hv, "b n l c -> b (n l) c"), None)

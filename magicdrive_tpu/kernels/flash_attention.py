@@ -445,12 +445,15 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Flash attention over diffusers-layout tensors.
 
     q: (..., Lq, H, D); k/v: (..., Lk, H, D). Returns (..., Lq, H, D).
     Full (non-causal, unmasked) attention with 1/sqrt(D) scaling — matching
-    :func:`magicdrive_tpu.core.attention.dot_product_attention`.
+    :func:`magicdrive_tpu.core.attention.dot_product_attention`. Callers
+    feeding lane-padded heads (depth padded beyond the logical dim_head,
+    see core.attention head padding) must pass the logical scale.
     Block sizes default to the VMEM-filling auto choice (``_auto_blocks``).
     """
     if interpret is None:
@@ -458,7 +461,8 @@ def flash_attention(
     orig_dtype = q.dtype
     *lead, Lq, H, D = q.shape
     Lk = k.shape[-3]
-    scale = float(D) ** -0.5
+    if scale is None:
+        scale = float(D) ** -0.5
     B = int(np.prod(lead)) if lead else 1
 
     def to_bh(t, L):

@@ -30,6 +30,41 @@ def test_dot_product_attention_matches_naive():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_lane_padded_projections_exact():
+    """Lane-padded head projections (weight-level zero pad to D=128) must
+    reproduce the unpadded attention bit-near-exactly: padded q/k/v lanes
+    carry zeros through QK/PV and the zero out-projection rows annihilate
+    them. The flash kernel consumes the padded layout with the logical
+    scale passed explicitly."""
+    attn = Attention(64, heads=4, dim_head=16, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 64))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, 64))
+    params = attn.init(jax.random.PRNGKey(1), x)
+    ref = attn.apply(params, x, ctx)
+
+    def padded(mdl, x, ctx, backend):
+        q = mdl.project_q(x, 128)
+        k, v = mdl.project_kv(ctx, 128)
+        o = dot_product_attention(q, k, v, scale=mdl.scale, backend=backend)
+        return mdl.project_out(o)
+
+    for backend in ("xla", "pallas"):  # pallas falls back to interpret on CPU
+        got = attn.apply(params, x, ctx, backend, method=padded)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_flash_attention_explicit_scale():
+    from magicdrive_tpu.kernels.flash_attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 36, 2, 16)).astype(np.float32))
+               for _ in range(3))
+    want = dot_product_attention(q, k, v, backend="xla", scale=0.5)
+    got = flash_attention(q, k, v, interpret=True, scale=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 @pytest.mark.parametrize("attn_type", ["add", "concat", "self"])
 def test_multiview_block_zero_init_is_identity(attn_type):
     """A freshly-initialized multiview block must equal the stock block:

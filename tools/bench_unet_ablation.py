@@ -12,7 +12,7 @@ variant: bytes come from operand shapes of the optimized HLO, so they are
 structurally meaningful even where the cost model's times are not.
 
 Usage: python tools/bench_unet_ablation.py [variant ...]
-  variants: full norm-compute norm-id attn-id no-crossview (default: all)
+  variants: full norm-compute norm-id attn-id no-crossview nb-batched (default: all)
 """
 from __future__ import annotations
 
@@ -63,18 +63,22 @@ def timeit(fn, *args, iters=10, name=""):
 _REAL_DPA = attention.dot_product_attention
 
 
-def _identity_attention(q, k, v, bias=None, backend=None):
+def _identity_attention(q, k, v, bias=None, backend=None, scale=None):
     # keep q/k/v alive so projections aren't DCE'd; no softmax/matmul core
     return q + 0.0 * (k.sum(-3, keepdims=True) + v.sum(-3, keepdims=True))
 
 
-def make_unet_step(no_crossview=False):
+def make_unet_step(no_crossview=False, neighbor_batched=False):
+    import dataclasses
     preset = sd15mv_rawbox_224x400()
     if no_crossview:
-        import dataclasses
         preset = dataclasses.replace(
             preset, unet=dataclasses.replace(
                 preset.unet, neighboring_view_pair=None))
+    if neighbor_batched:
+        preset = dataclasses.replace(
+            preset, unet=dataclasses.replace(
+                preset.unet, neighbor_batched=True))
     dtype = jnp.bfloat16
     modules = preset.modules(dtype=dtype)
     shapes = jax.eval_shape(
@@ -137,7 +141,8 @@ def run(variant):
     elif variant == "no-crossview":
         no_cv = True
     print(f"[{variant}]", flush=True)
-    step, lat2 = make_unet_step(no_crossview=no_cv)
+    step, lat2 = make_unet_step(no_crossview=no_cv,
+                                neighbor_batched=(variant == "nb-batched"))
     dt = timeit(step, lat2, name="unet fwd (2B*6)")
     if variant == "full":
         try:
