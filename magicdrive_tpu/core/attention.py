@@ -119,33 +119,50 @@ def dot_product_attention(
 class _QKVProj(nn.Module):
     """Dense with nn.Dense's exact param layout (kernel/bias at this scope)
     plus optional per-head zero-padding of the OUTPUT dim: kernel
-    (in, H*hd) -> (in, H, d_pad) so projections emit lane-aligned heads."""
+    (in, H*hd) -> (in, H, d_pad) so projections emit lane-aligned heads.
 
+    Setup-style (``in_features`` known statically) so the parent can read
+    ``padded_kernel``/``padded_bias`` to fuse several projections into one
+    matmul (:meth:`Attention.project_qkv`)."""
+
+    in_features: int
     heads: int
     dim_head: int
     use_bias: bool
     dtype: jnp.dtype
 
-    @nn.compact
-    def __call__(self, x, d_pad: Optional[int] = None):
+    def setup(self):
         h, hd = self.heads, self.dim_head
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (x.shape[-1], h * hd), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (h * hd,),
-                          jnp.float32) if self.use_bias else None
-        d = d_pad or hd
-        kernel = kernel.astype(self.dtype)
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, h * hd), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (h * hd,),
+                               jnp.float32) if self.use_bias else None
+
+    def padded_kernel(self, d: int) -> jnp.ndarray:
+        h, hd = self.heads, self.dim_head
+        kernel = self.kernel.astype(self.dtype)
         if d != hd:
             kernel = jnp.pad(kernel.reshape(-1, h, hd),
                              ((0, 0), (0, 0), (0, d - hd)))
-        y = x @ kernel.reshape(-1, h * d)
+        return kernel.reshape(-1, h * d)
+
+    def padded_bias(self, d: int) -> Optional[jnp.ndarray]:
+        if self.bias is None:
+            return None
+        h, hd = self.heads, self.dim_head
+        bias = self.bias.astype(self.dtype)
+        if d != hd:
+            bias = jnp.pad(bias.reshape(h, hd),
+                           ((0, 0), (0, d - hd))).reshape(-1)
+        return bias
+
+    def __call__(self, x, d_pad: Optional[int] = None):
+        d = d_pad or self.dim_head
+        y = x @ self.padded_kernel(d)
+        bias = self.padded_bias(d)
         if bias is not None:
-            bias = bias.astype(self.dtype)
-            if d != hd:
-                bias = jnp.pad(bias.reshape(h, hd),
-                               ((0, 0), (0, d - hd))).reshape(-1)
             y = y + bias
-        return y.reshape(*y.shape[:-1], h, d)
+        return y.reshape(*y.shape[:-1], self.heads, d)
 
 
 class _OutProj(nn.Module):
@@ -205,12 +222,13 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        kv_dim = self.cross_attention_dim or self.query_dim
         proj = functools.partial(_QKVProj, heads=self.heads,
                                  dim_head=self.dim_head,
                                  use_bias=self.use_bias, dtype=self.dtype)
-        self.to_q = proj(name="to_q")
-        self.to_k = proj(name="to_k")
-        self.to_v = proj(name="to_v")
+        self.to_q = proj(self.query_dim, name="to_q")
+        self.to_k = proj(kv_dim, name="to_k")
+        self.to_v = proj(kv_dim, name="to_v")
         self.to_out = _OutProj(self.query_dim, self.heads, self.dim_head,
                                self.out_bias, self.dtype, name="to_out")
 
@@ -224,14 +242,37 @@ class Attention(nn.Module):
     def project_kv(self, context, d_pad: Optional[int] = None):
         return self.to_k(context, d_pad), self.to_v(context, d_pad)
 
+    def project_qkv(self, x, d_pad: Optional[int] = None):
+        """Self-attention q/k/v in ONE matmul: the three kernels are
+        concatenated along the output dim (q/k/v share the input here), so
+        the MXU sees one (in, 3*H*d) contraction instead of three launches.
+        Identical math and params to the separate projections."""
+        h = self.heads
+        d = d_pad or self.dim_head
+        projs = (self.to_q, self.to_k, self.to_v)
+        kernel = jnp.concatenate([p.padded_kernel(d) for p in projs], axis=-1)
+        y = x @ kernel
+        biases = [p.padded_bias(d) for p in projs]
+        if any(b is not None for b in biases):
+            y = y + jnp.concatenate(
+                [b if b is not None else jnp.zeros((h * d,), self.dtype)
+                 for b in biases])
+        q, k, v = jnp.split(y, 3, axis=-1)
+        split = lambda t: t.reshape(*t.shape[:-1], h, d)
+        return split(q), split(k), split(v)
+
     def project_out(self, o, n_summed: int = 1):
         return self.to_out(o, n_summed)
 
     def __call__(self, x, context=None, bias=None):
-        context = x if context is None else context
+        is_self = context is None
+        context = x if is_self else context
         d_pad = head_pad_for(x.shape[-2], context.shape[-2], self.dim_head,
                              bias is not None)
-        q = self.project_q(x, d_pad)
-        k, v = self.project_kv(context, d_pad)
+        if is_self:
+            q, k, v = self.project_qkv(x, d_pad)
+        else:
+            q = self.project_q(x, d_pad)
+            k, v = self.project_kv(context, d_pad)
         out = dot_product_attention(q, k, v, bias=bias, scale=self.scale)
         return self.project_out(out)

@@ -197,8 +197,7 @@ class BasicTransformerBlock(nn.Module):
         scale = self.d_head ** -0.5
         if self.neighboring_attn_type == "add":
             d_pad = head_pad_for(L, L, self.d_head)
-            q = attn4.project_q(flat, d_pad)
-            k, v = attn4.project_kv(flat, d_pad)
+            q, k, v = attn4.project_qkv(flat, d_pad)
             kv_view = [rearrange(t, "(b n) l h d -> b n l h d", n=n_cam)
                        for t in (k, v)]
             if self.neighbor_batched:
@@ -229,8 +228,7 @@ class BasicTransformerBlock(nn.Module):
             # concat of projections == projection of the concat, so K/V are
             # likewise projected once per view and gathered.
             d_pad = head_pad_for(L, n_nb * L, self.d_head)
-            q = attn4.project_q(flat, d_pad)
-            k, v = attn4.project_kv(flat, d_pad)
+            q, k, v = attn4.project_qkv(flat, d_pad)
             kn, vn = (rearrange(
                 jnp.take(rearrange(t, "(b n) l h d -> b n l h d", n=n_cam),
                          neighbors.reshape(-1), axis=1),

@@ -54,6 +54,30 @@ def test_lane_padded_projections_exact():
                                    atol=2e-5)
 
 
+def test_fused_qkv_projection_exact():
+    """project_qkv (one concatenated-kernel matmul) must equal the three
+    separate projections bit-for-bit, padded and unpadded."""
+    attn = Attention(64, heads=4, dim_head=16, use_bias=True,
+                     dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 64))
+    params = attn.init(jax.random.PRNGKey(1), x)
+
+    for d_pad in (None, 128):
+        def fused(mdl, x):
+            return mdl.project_qkv(x, d_pad)
+
+        def separate(mdl, x):
+            q = mdl.project_q(x, d_pad)
+            k, v = mdl.project_kv(x, d_pad)
+            return q, k, v
+
+        got = attn.apply(params, x, method=fused)
+        want = attn.apply(params, x, method=separate)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6)
+
+
 def test_flash_attention_explicit_scale():
     from magicdrive_tpu.kernels.flash_attention import flash_attention
 
