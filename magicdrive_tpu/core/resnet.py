@@ -6,6 +6,7 @@ re-designed for NHWC and bf16 compute with fp32 norms.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -19,15 +20,15 @@ import numpy as np
 # "grouped" = reshape-to-(G, C/G) grouped reduce (flax's lowering). Both
 # match flax nn.GroupNorm to ~1e-6 fp32; A/B-able on real hardware because
 # the tunnel's per-op profiler reports cost-model (not measured) times.
-GN_IMPL = "channel"
+GN_IMPL = os.environ.get("MAGICDRIVE_GN_IMPL", "channel")
 
 # Norm-apply precision knob (GroupNorm and the transformer LayerNorms):
 # "fp32" (default) computes y = x*mul+add in fp32 before casting to the
 # compute dtype; "compute" folds the (tiny, fp32-derived) mul/add to the
 # compute dtype and applies in bf16 — statistics stay fp32 either way.
 # Kills any fp32-materialized apply intermediates at a ~1e-3 bf16 rounding
-# cost; A/B-able on real hardware.
-NORM_APPLY = "fp32"
+# cost; A/B-able on real hardware (env: MAGICDRIVE_NORM_APPLY=compute).
+NORM_APPLY = os.environ.get("MAGICDRIVE_NORM_APPLY", "fp32")
 
 # Debug-only: skip all norm math (params still created) so wall-time
 # ablations can isolate the total norm cost. Never set in real models.

@@ -68,6 +68,65 @@ def _identity_attention(q, k, v, bias=None, backend=None, scale=None):
     return q + 0.0 * (k.sum(-3, keepdims=True) + v.sum(-3, keepdims=True))
 
 
+_REAL_FF_CALL = transformer.FeedForward.__call__
+_REAL_CONV = resnet.conv
+
+
+def _ff_identity(self, x):
+    return x
+
+
+def _conv_1x1(features, kernel=3, stride=1, padding=1, dtype=jnp.float32,
+              name=None, use_bias=True):
+    # isolate the 3x3 spatial window cost: same channel contraction and
+    # strides, kernel 1x1 (9x fewer conv FLOPs, no halo)
+    return _REAL_CONV(features, 1, stride, 0, dtype=dtype, name=name,
+                      use_bias=use_bias)
+
+
+_REAL_T2D_CALL = transformer.Transformer2DModel.__call__
+_REAL_RESNET_CALL = resnet.ResnetBlock2D.__call__
+
+
+def _t2d_no_proj(self, x, context):
+    # skip norm + proj_in/proj_out 1x1 convs + outer residual (c == inner
+    # for every SD-1.5 level, so shapes hold)
+    b, hgt, wdt, c = x.shape
+    h = x.reshape(b, hgt * wdt, -1)
+    for i in range(self.depth):
+        h = transformer.BasicTransformerBlock(
+            self.n_heads * self.d_head, self.n_heads, self.d_head,
+            cross_attention_dim=self.cross_attention_dim, dtype=self.dtype,
+            neighboring_view_pair=self.neighboring_view_pair,
+            neighboring_attn_type=self.neighboring_attn_type,
+            neighbor_batched=self.neighbor_batched,
+            zero_module_type=self.zero_module_type,
+            temporal_frames=self.temporal_frames,
+            name=f"transformer_blocks_{i}",
+        )(h, context)
+    return h.reshape(b, hgt, wdt, -1)
+
+
+def _resnet_no_temb(self, x, temb=None):
+    # ResnetBlock2D body minus the time-embedding Dense+add (params for the
+    # skipped Dense are absent — fine, both init and apply use this body)
+    import flax.linen as nn
+
+    in_channels = x.shape[-1]
+    h = resnet.GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                         name="norm1")(x)
+    h = nn.silu(h)
+    h = resnet.conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+    h = resnet.GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                         name="norm2")(h)
+    h = nn.silu(h)
+    h = resnet.conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+    if in_channels != self.out_channels:
+        x = resnet.conv(self.out_channels, kernel=1, padding=0,
+                        dtype=self.dtype, name="conv_shortcut")(x)
+    return x + h
+
+
 def make_unet_step(no_crossview=False, neighbor_batched=False):
     import dataclasses
     preset = sd15mv_rawbox_224x400()
@@ -126,8 +185,14 @@ def make_unet_step(no_crossview=False, neighbor_batched=False):
 
 
 def run(variant):
+    import flax.linen as nn
+
     attention.dot_product_attention = _REAL_DPA
     transformer.dot_product_attention = _REAL_DPA
+    transformer.FeedForward.__call__ = _REAL_FF_CALL
+    transformer.Transformer2DModel.__call__ = _REAL_T2D_CALL
+    resnet.ResnetBlock2D.__call__ = _REAL_RESNET_CALL
+    resnet.conv = _REAL_CONV
     resnet.NORM_APPLY = "fp32"
     resnet.NORM_IDENTITY = False
     no_cv = False
@@ -138,6 +203,14 @@ def run(variant):
     elif variant == "attn-id":
         attention.dot_product_attention = _identity_attention
         transformer.dot_product_attention = _identity_attention
+    elif variant == "ff-id":
+        transformer.FeedForward.__call__ = nn.compact(_ff_identity)
+    elif variant == "conv1x1":
+        resnet.conv = _conv_1x1
+    elif variant == "proj-id":
+        transformer.Transformer2DModel.__call__ = nn.compact(_t2d_no_proj)
+    elif variant == "temb-id":
+        resnet.ResnetBlock2D.__call__ = nn.compact(_resnet_no_temb)
     elif variant == "no-crossview":
         no_cv = True
     print(f"[{variant}]", flush=True)
