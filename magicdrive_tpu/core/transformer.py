@@ -42,6 +42,44 @@ class GatedConnector(nn.Module):
         return jnp.tanh(alpha).astype(self.dtype) * x
 
 
+# Default FF stage-1 implementation. "fused" = pallas kernel (geglu.py);
+# "xla" = plain matmul+split+gelu. Flips to "fused" once verified+measured
+# on the attached chip (pending: device tunnel outage during round 2).
+_FF_DEFAULT = "xla"
+
+
+class _GEGLUProj(nn.Module):
+    """GEGLU stage-1 with nn.Dense's exact param layout (kernel/bias at
+    this scope). On the TPU path the projection+gate runs as the fused
+    pallas kernel (``kernels/geglu.py``) that never materializes the
+    (M, 2*inner) intermediate in HBM; otherwise (CPU, or
+    ``MAGICDRIVE_FF_IMPL=xla``) the plain matmul+split+gelu graph."""
+
+    in_features: int
+    inner: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        from magicdrive_tpu.kernels.flash_attention import on_tpu_by_default
+        from magicdrive_tpu.kernels.geglu import fused_geglu
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, 2 * self.inner), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (2 * self.inner,),
+                          jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if (os.environ.get("MAGICDRIVE_FF_IMPL", _FF_DEFAULT) == "fused"
+                and on_tpu_by_default()):
+            return fused_geglu(x, kernel, bias)
+        h = x @ kernel + bias
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate, approximate=False)
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward: Dense(d, 8d) -> x * gelu(gate) -> Dense(4d, d)."""
 
@@ -52,10 +90,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="net_0_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
+        h = _GEGLUProj(self.dim, inner, self.dtype, name="net_0_proj")(x)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         name="net_2")(h)
 

@@ -1,0 +1,150 @@
+"""Fused GEGLU projection kernel: y = (x @ Wv + bv) * gelu(x @ Wg + bg).
+
+The UNet FeedForward's first stage (ref:third_party/diffusers GEGLU via
+``net.0.proj``) projects to 2x the inner dim and gates one half with the
+other. Under XLA this materializes the (M, 2*inner) intermediate in HBM
+(~344 MB per level-0 FF call at the 224x400 bench shape) before the
+split/gelu/multiply fusion reads it back. This kernel computes both halves
+tile-by-tile in VMEM and writes only the gated (M, inner) product —
+roughly half the FF stage-1 HBM traffic.
+
+Grid: (M/bm, inner/bn); each step loads one x row-block (full K) and one
+column block of each weight half, runs two MXU contractions and the gelu
+gate on the VPU, and writes one output tile. The fp32 accumulation of
+both dots happens in-kernel (preferred_element_type), matching the XLA
+path's numerics; gelu is the exact (erf) variant diffusers uses.
+
+Backward: custom_vjp recomputing the two projections with plain XLA
+matmuls — training keeps XLA's fusion behavior (the forward win is an
+inference concern; the train step remats the whole block anyway).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .flash_attention import _ceil_to, _interpret_default
+
+
+def _gelu_exact(x):
+    # diffusers GEGLU uses torch F.gelu default (exact erf formulation)
+    return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(x.dtype)))
+
+
+def _kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, o_ref):
+    x = x_ref[...]
+    hv = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+    hg = jax.lax.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    if bv_ref is not None:
+        hv = hv + bv_ref[...].astype(jnp.float32)
+        hg = hg + bg_ref[...].astype(jnp.float32)
+    o_ref[...] = (hv * _gelu_exact(hg)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _geglu_core(x, wv, wg, bv, bg, block_m, block_n, interpret):
+    return _geglu_fwd_impl(x, wv, wg, bv, bg, block_m, block_n, interpret)
+
+
+def _geglu_fwd_impl(x, wv, wg, bv, bg, block_m, block_n, interpret):
+    M, K = x.shape
+    N = wv.shape[1]
+    nm, nn = pl.cdiv(M, block_m), pl.cdiv(N, block_n)
+    has_bias = bv is not None
+
+    kernel = _kernel if has_bias else (
+        lambda x_ref, wv_ref, wg_ref, o_ref:
+        _kernel(x_ref, wv_ref, wg_ref, None, None, o_ref))
+
+    in_specs = [
+        pl.BlockSpec((block_m, K), lambda i, j: (i, 0)),
+        pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+        pl.BlockSpec((K, block_n), lambda i, j: (0, j)),
+    ]
+    args = [x, wv, wg]
+    if has_bias:
+        in_specs += [pl.BlockSpec((1, block_n), lambda i, j: (0, j))] * 2
+        args += [bv.reshape(1, -1), bg.reshape(1, -1)]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nm, nn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * K * N,
+            bytes_accessed=2 * (M * K + 2 * K * N + M * N),
+            transcendentals=M * N,
+        ),
+    )(*args)
+
+
+def _ref_halves(x, wv, wg, bv, bg):
+    hv = (x @ wv).astype(jnp.float32)
+    hg = (x @ wg).astype(jnp.float32)
+    if bv is not None:
+        hv = hv + bv
+        hg = hg + bg
+    return hv, hg
+
+
+def _geglu_fwd(x, wv, wg, bv, bg, block_m, block_n, interpret):
+    y = _geglu_fwd_impl(x, wv, wg, bv, bg, block_m, block_n, interpret)
+    return y, (x, wv, wg, bv, bg)
+
+
+def _geglu_bwd(block_m, block_n, interpret, res, dy):
+    x, wv, wg, bv, bg = res
+    hv, hg = _ref_halves(x, wv, wg, bv, bg)
+    dy32 = dy.astype(jnp.float32)
+    g = _gelu_exact(hg)
+    dhv = dy32 * g
+    # d gelu(z) = Phi(z) + z phi(z)
+    phi = jnp.exp(-0.5 * hg * hg) / np.sqrt(2 * np.pi)
+    dhg = dy32 * hv * (0.5 * (1.0 + jax.lax.erf(hg / np.sqrt(2.0))) + hg * phi)
+    dhv = dhv.astype(x.dtype)
+    dhg = dhg.astype(x.dtype)
+    dx = dhv @ wv.T + dhg @ wg.T
+    dwv = x.T @ dhv
+    dwg = x.T @ dhg
+    dbv = dhv.sum(0) if bv is not None else None
+    dbg = dhg.sum(0) if bg is not None else None
+    return dx, dwv.astype(wv.dtype), dwg.astype(wg.dtype), dbv, dbg
+
+
+_geglu_core.defvjp(_geglu_fwd, _geglu_bwd)
+
+
+def fused_geglu(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """GEGLU stage-1: value/gate halves of ``kernel`` (in, 2*inner), value
+    first (matching ``jnp.split(h, 2, -1)`` order in FeedForward).
+
+    x: (..., K); kernel: (K, 2N); bias: (2N,) or None. Returns (..., N).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    *lead, K = x.shape
+    N = kernel.shape[1] // 2
+    M = int(np.prod(lead)) if lead else 1
+    wv, wg = kernel[:, :N], kernel[:, N:]
+    bv = bg = None
+    if bias is not None:
+        bv, bg = bias[:N], bias[N:]
+    bm = min(block_m, _ceil_to(M, 8))
+    bn = min(block_n, _ceil_to(N, 128))
+    y = _geglu_core(x.reshape(M, K), wv, wg, bv, bg, bm, bn, interpret)
+    return y.reshape(*lead, N)

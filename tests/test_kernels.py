@@ -1,5 +1,6 @@
 """Flash-attention Pallas kernel vs the XLA reference implementation."""
 import jax
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
@@ -109,3 +110,49 @@ def test_on_tpu_by_default_honors_default_device():
 
     with jax.default_device(jax.devices("cpu")[0]):
         assert on_tpu_by_default() is False
+
+
+def test_fused_geglu_matches_xla():
+    from magicdrive_tpu.kernels.geglu import fused_geglu
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 37, 48)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(48, 2 * 160)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.normal(size=(2 * 160,)).astype(np.float32) * 0.1)
+
+    def ref(x, kernel, bias):
+        h = x @ kernel + bias
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * jax.nn.gelu(gate, approximate=False)
+
+    got = fused_geglu(x, kernel, bias, interpret=True)
+    want = ref(x, kernel, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # no-bias path
+    got_nb = fused_geglu(x, kernel, None, interpret=True)
+    want_nb = ref(x, kernel, jnp.zeros_like(bias))
+    np.testing.assert_allclose(np.asarray(got_nb), np.asarray(want_nb),
+                               atol=2e-5)
+
+
+def test_fused_geglu_grad_matches_xla():
+    from magicdrive_tpu.kernels.geglu import fused_geglu
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(29, 32)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(32, 2 * 128)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.normal(size=(2 * 128,)).astype(np.float32) * 0.1)
+
+    def loss_fused(x, kernel, bias):
+        return (fused_geglu(x, kernel, bias, interpret=True) ** 2).mean()
+
+    def loss_ref(x, kernel, bias):
+        h = x @ kernel + bias
+        h, gate = jnp.split(h, 2, axis=-1)
+        return ((h * jax.nn.gelu(gate, approximate=False)) ** 2).mean()
+
+    gf = jax.grad(loss_fused, (0, 1, 2))(x, kernel, bias)
+    gr = jax.grad(loss_ref, (0, 1, 2))(x, kernel, bias)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
