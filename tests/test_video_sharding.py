@@ -105,3 +105,30 @@ def test_frame_sharded_video_sampling_matches_unsharded():
     # collectives reorder fp32 reductions; observed max dev ~8e-5 over the
     # 2-step denoise + VAE decode
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_60_frame_graph_shapes_validate():
+    """The released 60-frame model's graph (ref:README.MD:33-36) shape-
+    validates end-to-end at tiny spatial dims via eval_shape — no compile,
+    so this runs in the fast tier's budget despite the 60-frame batch."""
+    F60 = 60
+    preset = micro_video_debug(n_frames=F60)
+    modules = preset.modules(dtype=jnp.float32)
+    B = 1 * F60
+    ccfg = CollateConfig(bbox_max_len=preset.bbox_max_len,
+                         canvas_hw=preset.image_size)
+    host = collate_fn(
+        make_dataset(B, image_hw=preset.image_size, map_hw=preset.map_hw),
+        ccfg, rng=np.random.default_rng(0))
+    batch = {k: jnp.asarray(v) for k, v in host.items()}
+
+    shapes = jax.eval_shape(
+        lambda: init_params(preset, modules, jax.random.PRNGKey(0)))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    tcfg = TrainConfig(lr_warmup_steps=1, frames_per_clip=F60,
+                       drop_cond_ratio=0.0)
+    step = make_train_step(modules, tcfg)
+    state = create_train_state(params, tcfg)
+    out_state, metrics = jax.eval_shape(
+        step, state, batch, jax.random.PRNGKey(1))
+    assert metrics["loss"].shape == ()
