@@ -45,6 +45,15 @@ _AUTO_PALLAS_MIN_LOGITS = 512 * 512
 
 _LANE = 128
 
+# Attention implementation on the pallas route: "fused" = the projection-
+# fused megakernel (kernels/fused_attention.py — q/k/v never exist in HBM);
+# "projected" = lane-padded projections + the flash kernel. Default stays
+# "projected" until the fused kernel is verified+measured on the attached
+# chip (pending: device tunnel outage during round 2).
+import os as _os
+
+_ATTN_IMPL = _os.environ.get("MAGICDRIVE_ATTN_IMPL", "projected")
+
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
@@ -242,6 +251,28 @@ class Attention(nn.Module):
     def project_kv(self, context, d_pad: Optional[int] = None):
         return self.to_k(context, d_pad), self.to_v(context, d_pad)
 
+    def qkv_weights(self, d_pad: Optional[int] = None):
+        """The three (in, H*d) projection kernels, lane-padded to ``d_pad``
+        — operands for the projection-fused attention kernel. Only valid
+        for bias-free projections (SD-1.5's UNet attentions)."""
+        assert not self.use_bias, "fused qkv path requires bias-free q/k/v"
+        d = d_pad or self.dim_head
+        return (self.to_q.padded_kernel(d), self.to_k.padded_kernel(d),
+                self.to_v.padded_kernel(d))
+
+    def fused_attend(self, x, context=None):
+        """Projection-fused attention (kernels/fused_attention.py): q/k/v
+        are computed inside the kernel and never materialized in HBM.
+        Output is padded-head layout, fed through ``project_out``."""
+        from magicdrive_tpu.kernels.fused_attention import fused_qkv_attention
+
+        context = x if context is None else context
+        d = _LANE if self.dim_head % _LANE else self.dim_head
+        wq, wk, wv = self.qkv_weights(d)
+        out = fused_qkv_attention(x, context, wq, wk, wv, heads=self.heads,
+                                  scale=self.scale)
+        return self.project_out(out)
+
     def project_qkv(self, x, d_pad: Optional[int] = None):
         """Self-attention q/k/v in ONE matmul: the three kernels are
         concatenated along the output dim (q/k/v share the input here), so
@@ -267,6 +298,10 @@ class Attention(nn.Module):
     def __call__(self, x, context=None, bias=None):
         is_self = context is None
         context = x if is_self else context
+        if (_ATTN_IMPL == "fused" and bias is None and not self.use_bias
+                and _pallas_route(x.shape[-2], context.shape[-2],
+                                  self.dim_head, False)):
+            return self.fused_attend(x, context)
         d_pad = head_pad_for(x.shape[-2], context.shape[-2], self.dim_head,
                              bias is not None)
         if is_self:

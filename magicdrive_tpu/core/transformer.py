@@ -230,7 +230,38 @@ class BasicTransformerBlock(nn.Module):
         flat = rearrange(hv, "b n l c -> (b n) l c")
         L = flat.shape[-2]
         scale = self.d_head ** -0.5
-        if self.neighboring_attn_type == "add":
+        from . import attention as _attn_mod
+
+        use_fused = (_attn_mod._ATTN_IMPL == "fused"
+                     and _attn_mod._pallas_route(L, L, self.d_head, False))
+        if use_fused and self.neighboring_attn_type in ("add", "concat"):
+            # Projection-fused path: per neighbor, hand the kernel the raw
+            # hidden states — q/k/v never exist in HBM. Each view's k/v
+            # projection is recomputed once per neighbor (VMEM matmuls,
+            # ~0.4 GF — trivial next to the HBM it saves).
+            from magicdrive_tpu.kernels.fused_attention import (
+                fused_qkv_attention)
+
+            d = 128 if self.d_head % 128 else self.d_head
+            wq, wk, wv = attn4.qkv_weights(d)
+            nbs = (range(n_nb) if self.neighboring_attn_type == "add"
+                   else [None])
+            acc = None
+            for nb in nbs:
+                idx = (neighbors[:, nb] if nb is not None
+                       else neighbors.reshape(-1))
+                xkv = jnp.take(hv, idx, axis=1)
+                xkv = (rearrange(xkv, "b n l c -> (b n) l c") if nb is not None
+                       else rearrange(xkv, "b (n k) l c -> (b n) (k l) c",
+                                      k=n_nb))
+                o = fused_qkv_attention(flat, xkv, wq, wk, wv,
+                                        heads=self.n_heads, scale=scale)
+                acc = o if acc is None else acc + o
+            out = attn4.project_out(
+                acc, n_summed=n_nb if self.neighboring_attn_type == "add"
+                else 1)
+            out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
+        elif self.neighboring_attn_type == "add":
             d_pad = head_pad_for(L, L, self.d_head)
             q, k, v = attn4.project_qkv(flat, d_pad)
             kv_view = [rearrange(t, "(b n) l h d -> b n l h d", n=n_cam)

@@ -1,0 +1,202 @@
+"""Fused QKV-projection + flash-attention kernel.
+
+Motivation (PERFORMANCE.md round 2): with lane-padded projection weights
+the attention cores run at the aligned-depth speed, but the padded q/k/v
+projections cost ~3.2x their logical FLOPs and a full HBM round trip of
+the padded (…, H, 128) tensors per core. This kernel moves the three
+projections INSIDE the attention kernel: per (batch, q-block, head) grid
+step it computes
+
+    q = x_q_block @ Wq_h          (VMEM, fp32 accum, cast to bf16)
+    k = x_kv      @ Wk_h
+    v = x_kv      @ Wv_h
+    o = softmax(q k^T * scale) v  ->  (…, Lq, H*Dp) lane-blocked output
+
+so q/k/v never exist in HBM at all, the lane-padding cost is VMEM-only,
+no transposes are needed (the output is written head-lane-blocked,
+directly consumable by the padded ``to_out``), and no kv-length masking
+is needed (k has exactly Lk rows in VMEM).
+
+k/v are recomputed per q-block (cheap: 2*Lk*C*Dp MACs per step); at the
+flagship shapes every auto choice has nq == 1 anyway.
+
+Scope: no qkv bias (SD-1.5's UNet attentions have none — the biased VAE
+attention stays on the XLA path), no attention bias/mask.
+
+Backward (custom_vjp): recompute q/k/v with plain XLA matmuls, run the
+existing flash fwd(+lse)/bwd pair for the core, then standard matmul
+grads for the projection weights. Training remats transformer blocks
+anyway, so the recompute mirrors what the XLA path already does.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .flash_attention import (_ceil_to, _flash_bwd, _flash_fwd,
+                              _interpret_default, _pick_block, _VMEM_BUDGET)
+
+
+def _fused_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref, *,
+                  scale: float, out_dtype):
+    xq = xq_ref[0]            # (bq, C)
+    xkv = xkv_ref[0]          # (Lk, C)
+    q = jax.lax.dot(xq, wq_ref[...],
+                    preferred_element_type=jnp.float32)   # (bq, Dp)
+    k = jax.lax.dot(xkv, wk_ref[...],
+                    preferred_element_type=jnp.float32)   # (Lk, Dp)
+    v = jax.lax.dot(xkv, wv_ref[...],
+                    preferred_element_type=jnp.float32)
+    q = (q * scale).astype(xq.dtype)
+    k = k.astype(xq.dtype)
+    v = v.astype(xq.dtype)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq, Lk)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(p.astype(xq.dtype), v,
+                    preferred_element_type=jnp.float32) / l
+    o_ref[0] = o.astype(out_dtype)
+
+
+def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
+    """Largest q block whose working set fits VMEM: fp32 (bq, Lk) logits
+    tile + x_q block + full x_kv + k/v/q fp32 intermediates."""
+    lk_pad = _ceil_to(Lk, 128)
+    fixed = (Lk * C * esize            # x_kv
+             + 2 * (lk_pad * d_pad * 4)  # k, v fp32
+             + 3 * C * d_pad * esize)    # weights
+    for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):
+        if bq > _ceil_to(Lq, 16):
+            continue
+        var = (bq * lk_pad * 4          # logits tile
+               + bq * C * esize         # x_q
+               + 2 * bq * d_pad * 4)    # q fp32 + acc
+        if fixed + var <= _VMEM_BUDGET:
+            return bq
+    return 128
+
+
+def _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
+    B, Lq, C = x_q.shape
+    Lk = x_kv.shape[1]
+    Ck = x_kv.shape[2]
+    bq = _auto_bq(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize)
+    nq = pl.cdiv(Lq, bq)
+
+    kernel = functools.partial(_fused_kernel, scale=scale,
+                               out_dtype=x_q.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nq, heads),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i, h: (b, i, 0)),
+            pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
+            pl.BlockSpec((C, d_pad), lambda b, i, h: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i, h: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * (Lq * C + 2 * nq * Lk * Ck) * d_pad
+            + 4 * B * heads * Lq * Lk * d_pad,
+            bytes_accessed=2 * B * (nq * Lk * Ck + Lq * C
+                                    + Lq * heads * d_pad),
+            transcendentals=B * heads * Lq * Lk,
+        ),
+    )(x_q, x_kv, wq, wk, wv)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
+    return _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                           interpret)
+
+
+def _fused_fwd(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
+    y = _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                        interpret)
+    return y, (x_q, x_kv, wq, wk, wv)
+
+
+def _project(x, w, heads, d_pad):
+    y = (x @ w).reshape(*x.shape[:-1], heads, d_pad)
+    return y
+
+
+def _fused_bwd(scale, heads, d_pad, interpret, res, dy):
+    from .flash_attention import _auto_blocks
+
+    x_q, x_kv, wq, wk, wv = res
+    B, Lq, C = x_q.shape
+    Lk, Ck = x_kv.shape[1], x_kv.shape[2]
+
+    # recompute projections (XLA): (B, L, H, Dp) -> (B*H, L, Dp)
+    def to_bh(t, L):
+        return t.transpose(0, 2, 1, 3).reshape(B * heads, L, d_pad)
+
+    q = to_bh(_project(x_q, wq, heads, d_pad).astype(x_q.dtype), Lq)
+    k = to_bh(_project(x_kv, wk, heads, d_pad).astype(x_q.dtype), Lk)
+    v = to_bh(_project(x_kv, wv, heads, d_pad).astype(x_q.dtype), Lk)
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    bq, bk = _auto_blocks(Lq, Lk, max(d_pad, 128), q.dtype.itemsize)
+    bq, bk = _pick_block(Lq, bq), _pick_block(Lk, bk)
+    o, lse = _flash_fwd(qs, k, v, 1.0, Lk, bq, bk, interpret, with_lse=True)
+
+    dy_bh = to_bh(dy.reshape(B, Lq, heads, d_pad), Lq)
+    dq_s, dk, dv = _flash_bwd(qs, k, v, o, lse, dy_bh, 1.0, Lk, bq, bk,
+                              interpret)
+    dq = (dq_s.astype(jnp.float32) * scale).astype(q.dtype)
+
+    def from_bh(t, L):
+        return t.reshape(B, heads, L, d_pad).transpose(0, 2, 1, 3)
+
+    dq4 = from_bh(dq, Lq).reshape(B, Lq, heads * d_pad)
+    dk4 = from_bh(dk, Lk).reshape(B, Lk, heads * d_pad)
+    dv4 = from_bh(dv, Lk).reshape(B, Lk, heads * d_pad)
+
+    dx_q = dq4 @ wq.T
+    dx_kv = dk4 @ wk.T + dv4 @ wv.T
+    x_q2 = x_q.reshape(B * Lq, C)
+    x_kv2 = x_kv.reshape(B * Lk, Ck)
+    dwq = x_q2.T @ dq4.reshape(B * Lq, -1)
+    dwk = x_kv2.T @ dk4.reshape(B * Lk, -1)
+    dwv = x_kv2.T @ dv4.reshape(B * Lk, -1)
+    return (dx_q.astype(x_q.dtype), dx_kv.astype(x_kv.dtype),
+            dwq.astype(wq.dtype), dwk.astype(wk.dtype), dwv.astype(wv.dtype))
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_qkv_attention(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Projection-fused attention.
+
+    x_q: (B, Lq, C); x_kv: (B, Lk, Ck); wq: (C, H*Dp); wk/wv: (Ck, H*Dp)
+    with Dp the (lane-padded) head depth. Returns (B, Lq, H, Dp) — the
+    padded-head layout ``Attention.project_out`` consumes.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    d_pad = wq.shape[1] // heads
+    B, Lq, _ = x_q.shape
+    out = _fused_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret)
+    return out.reshape(B, Lq, heads, d_pad)

@@ -184,3 +184,34 @@ def test_neighbor_batched_matches_sequential():
     a = seq.apply(params, x)
     b = bat.apply(params, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_attention_impl_matches_projected():
+    """MAGICDRIVE_ATTN_IMPL=fused (projection-fused megakernel) must match
+    the projected path through a full cross-view transformer block."""
+    import magicdrive_tpu.core.attention as attn_mod
+
+    kw = dict(cross_attention_dim=32,
+              neighboring_view_pair=tuple((i, ((i - 1) % N_CAM,
+                                               (i + 1) % N_CAM))
+                                          for i in range(N_CAM)))
+    kw["neighboring_view_pair"] = tuple(v for _, v in sorted(
+        dict(kw["neighboring_view_pair"]).items()))
+    blk = BasicTransformerBlock(32, 2, 16, cross_attention_dim=32,
+                                neighboring_view_pair=kw["neighboring_view_pair"],
+                                zero_module_type="none")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * N_CAM, 40, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * N_CAM, 7, 32))
+    params = blk.init(jax.random.PRNGKey(2), x, ctx)
+    ref = blk.apply(params, x, ctx)
+
+    real_route = attn_mod._pallas_route
+    real_impl = attn_mod._ATTN_IMPL
+    try:
+        attn_mod._pallas_route = lambda *a: True
+        attn_mod._ATTN_IMPL = "fused"
+        got = blk.apply(params, x, ctx)
+    finally:
+        attn_mod._pallas_route = real_route
+        attn_mod._ATTN_IMPL = real_impl
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
