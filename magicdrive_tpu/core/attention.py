@@ -185,21 +185,28 @@ class _OutProj(nn.Module):
     use_bias: bool
     dtype: jnp.dtype
 
-    @nn.compact
-    def __call__(self, o, n_summed: int = 1):
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.heads * self.dim_head, self.features),
+                                 jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,),
+                               jnp.float32) if self.use_bias else None
+
+    def padded_kernel(self, d: int) -> jnp.ndarray:
         h, hd = self.heads, self.dim_head
-        d = o.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (h * hd, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32) if self.use_bias else None
-        kernel = kernel.astype(self.dtype)
+        kernel = self.kernel.astype(self.dtype)
         if d != hd:
             kernel = jnp.pad(kernel.reshape(h, hd, -1),
                              ((0, 0), (0, d - hd), (0, 0)))
-        y = o.reshape(*o.shape[:-2], h * d) @ kernel.reshape(h * d, -1)
-        if bias is not None:
-            y = y + n_summed * bias.astype(self.dtype)
+        return kernel.reshape(h * d, -1)
+
+    def __call__(self, o, n_summed: int = 1):
+        h = self.heads
+        d = o.shape[-1]
+        y = o.reshape(*o.shape[:-2], h * d) @ self.padded_kernel(d)
+        if self.bias is not None:
+            y = y + n_summed * self.bias.astype(self.dtype)
         return y
 
 
@@ -261,17 +268,22 @@ class Attention(nn.Module):
                 self.to_v.padded_kernel(d))
 
     def fused_attend(self, x, context=None):
-        """Projection-fused attention (kernels/fused_attention.py): q/k/v
-        are computed inside the kernel and never materialized in HBM.
-        Output is padded-head layout, fed through ``project_out``."""
-        from magicdrive_tpu.kernels.fused_attention import fused_qkv_attention
+        """Fully-fused attention (kernels/fused_attention.py): q/k/v AND
+        the per-head attention outputs never exist in HBM — the kernel
+        accumulates o_h @ Wout_h across heads and emits (…, L, C_out)
+        directly; only the out bias is added here."""
+        from magicdrive_tpu.kernels.fused_attention import (
+            fused_qkv_out_attention)
 
         context = x if context is None else context
         d = _LANE if self.dim_head % _LANE else self.dim_head
         wq, wk, wv = self.qkv_weights(d)
-        out = fused_qkv_attention(x, context, wq, wk, wv, heads=self.heads,
-                                  scale=self.scale)
-        return self.project_out(out)
+        out = fused_qkv_out_attention(x, context, wq, wk, wv,
+                                      self.to_out.padded_kernel(d),
+                                      heads=self.heads, scale=self.scale)
+        if self.to_out.bias is not None:
+            out = out + self.to_out.bias.astype(self.dtype)
+        return out
 
     def project_qkv(self, x, d_pad: Optional[int] = None):
         """Self-attention q/k/v in ONE matmul: the three kernels are

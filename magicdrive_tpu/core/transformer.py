@@ -235,15 +235,17 @@ class BasicTransformerBlock(nn.Module):
         use_fused = (_attn_mod._ATTN_IMPL == "fused"
                      and _attn_mod._pallas_route(L, L, self.d_head, False))
         if use_fused and self.neighboring_attn_type in ("add", "concat"):
-            # Projection-fused path: per neighbor, hand the kernel the raw
-            # hidden states — q/k/v never exist in HBM. Each view's k/v
-            # projection is recomputed once per neighbor (VMEM matmuls,
-            # ~0.4 GF — trivial next to the HBM it saves).
+            # Fully-fused path: per neighbor, hand the kernel the raw
+            # hidden states — q/k/v and the per-head outputs never exist
+            # in HBM; the kernel emits each neighbor's out-projected
+            # (…, L, C) contribution, summed here (linear), bias added
+            # once per neighbor branch (ref:blocks.py:213-217 semantics).
             from magicdrive_tpu.kernels.fused_attention import (
-                fused_qkv_attention)
+                fused_qkv_out_attention)
 
             d = 128 if self.d_head % 128 else self.d_head
             wq, wk, wv = attn4.qkv_weights(d)
+            wo = attn4.to_out.padded_kernel(d)
             nbs = (range(n_nb) if self.neighboring_attn_type == "add"
                    else [None])
             acc = None
@@ -254,13 +256,13 @@ class BasicTransformerBlock(nn.Module):
                 xkv = (rearrange(xkv, "b n l c -> (b n) l c") if nb is not None
                        else rearrange(xkv, "b (n k) l c -> (b n) (k l) c",
                                       k=n_nb))
-                o = fused_qkv_attention(flat, xkv, wq, wk, wv,
-                                        heads=self.n_heads, scale=scale)
+                o = fused_qkv_out_attention(flat, xkv, wq, wk, wv, wo,
+                                            heads=self.n_heads, scale=scale)
                 acc = o if acc is None else acc + o
-            out = attn4.project_out(
-                acc, n_summed=n_nb if self.neighboring_attn_type == "add"
-                else 1)
-            out = rearrange(out, "(b n) l c -> b n l c", n=n_cam)
+            if attn4.to_out.bias is not None:
+                k_br = n_nb if self.neighboring_attn_type == "add" else 1
+                acc = acc + k_br * attn4.to_out.bias.astype(self.dtype)
+            out = rearrange(acc, "(b n) l c -> b n l c", n=n_cam)
         elif self.neighboring_attn_type == "add":
             d_pad = head_pad_for(L, L, self.d_head)
             q, k, v = attn4.project_qkv(flat, d_pad)

@@ -41,8 +41,7 @@ from .flash_attention import (_ceil_to, _flash_bwd, _flash_fwd,
                               _interpret_default, _pick_block, _VMEM_BUDGET)
 
 
-def _fused_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref, *,
-                  scale: float, out_dtype):
+def _attend_one_head(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, scale):
     xq = xq_ref[0]            # (bq, C)
     xkv = xkv_ref[0]          # (Lk, C)
     q = jax.lax.dot(xq, wq_ref[...],
@@ -59,9 +58,35 @@ def _fused_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref, *,
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot(p.astype(xq.dtype), v,
-                    preferred_element_type=jnp.float32) / l
+    return jax.lax.dot(p.astype(xq.dtype), v,
+                       preferred_element_type=jnp.float32) / l
+
+
+def _fused_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref, *,
+                  scale: float, out_dtype):
+    o = _attend_one_head(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, scale)
     o_ref[0] = o.astype(out_dtype)
+
+
+def _fused_kernel_out(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+                      o_ref, acc_scr, *, scale: float, out_dtype):
+    """Out-projection fused on top: each head's attention output is
+    contracted with its slice of Wout and accumulated in an fp32 scratch;
+    the (bq, H*Dp) padded intermediate never exists, even in VMEM."""
+    h = pl.program_id(2)
+    nh = pl.num_programs(2)
+
+    @pl.when(h == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    o = _attend_one_head(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, scale)
+    acc_scr[:] += jax.lax.dot(o.astype(xq_ref.dtype), wo_ref[...],
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(h == nh - 1)
+    def _():
+        o_ref[0] = acc_scr[:].astype(out_dtype)
 
 
 def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
@@ -82,37 +107,60 @@ def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
     return 128
 
 
-def _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
+def _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
+                    wout=None):
     B, Lq, C = x_q.shape
     Lk = x_kv.shape[1]
     Ck = x_kv.shape[2]
     bq = _auto_bq(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize)
     nq = pl.cdiv(Lq, bq)
 
-    kernel = functools.partial(_fused_kernel, scale=scale,
+    in_specs = [
+        pl.BlockSpec((1, bq, C), lambda b, i, h: (b, i, 0)),
+        pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
+        pl.BlockSpec((C, d_pad), lambda b, i, h: (0, h)),
+        pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+        pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+    ]
+    args = [x_q, x_kv, wq, wk, wv]
+    cost = pl.CostEstimate(
+        flops=2 * B * heads * (Lq * C + 2 * nq * Lk * Ck) * d_pad
+        + 4 * B * heads * Lq * Lk * d_pad,
+        bytes_accessed=2 * B * (nq * Lk * Ck + Lq * C
+                                + Lq * heads * d_pad),
+        transcendentals=B * heads * Lq * Lk,
+    )
+    if wout is None:
+        kernel = functools.partial(_fused_kernel, scale=scale,
+                                   out_dtype=x_q.dtype)
+        return pl.pallas_call(
+            kernel,
+            grid=(B, nq, heads),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i, h: (b, i, h)),
+            out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad),
+                                           x_q.dtype),
+            interpret=interpret,
+            cost_estimate=cost,
+        )(*args)
+
+    C_out = wout.shape[1]
+    kernel = functools.partial(_fused_kernel_out, scale=scale,
                                out_dtype=x_q.dtype)
-    out = pl.pallas_call(
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
         kernel,
         grid=(B, nq, heads),
-        in_specs=[
-            pl.BlockSpec((1, bq, C), lambda b, i, h: (b, i, 0)),
-            pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
-            pl.BlockSpec((C, d_pad), lambda b, i, h: (0, h)),
-            pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
-            pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+        in_specs=in_specs + [
+            pl.BlockSpec((d_pad, C_out), lambda b, i, h: (h, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, i, h: (b, i, h)),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
+        out_specs=pl.BlockSpec((1, bq, C_out), lambda b, i, h: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, C_out), x_q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, C_out), jnp.float32)],
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * heads * (Lq * C + 2 * nq * Lk * Ck) * d_pad
-            + 4 * B * heads * Lq * Lk * d_pad,
-            bytes_accessed=2 * B * (nq * Lk * Ck + Lq * C
-                                    + Lq * heads * d_pad),
-            transcendentals=B * heads * Lq * Lk,
-        ),
-    )(x_q, x_kv, wq, wk, wv)
-    return out
+        cost_estimate=cost,
+    )(*args, wout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -178,6 +226,38 @@ def _fused_bwd(scale, heads, d_pad, interpret, res, dy):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_core_out(x_q, x_kv, wq, wk, wv, wout, scale, heads, d_pad,
+                    interpret):
+    return _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                           interpret, wout=wout)
+
+
+def _fused_out_fwd(x_q, x_kv, wq, wk, wv, wout, scale, heads, d_pad,
+                   interpret):
+    y = _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                        interpret, wout=wout)
+    return y, (x_q, x_kv, wq, wk, wv, wout)
+
+
+def _fused_out_bwd(scale, heads, d_pad, interpret, res, dy):
+    x_q, x_kv, wq, wk, wv, wout = res
+    B, Lq, _ = x_q.shape
+    # dy: (B, Lq, C_out). Per-head core cotangent = dy @ Wout_h^T; recompute
+    # the per-head attention output for dWout via the unfused core's vjp.
+    o_heads, core_vjp = jax.vjp(
+        lambda xq, xkv, a, b, c: _fused_core(xq, xkv, a, b, c, scale, heads,
+                                             d_pad, interpret),
+        x_q, x_kv, wq, wk, wv)
+    dy_heads = (dy @ wout.T.astype(dy.dtype))  # (B, Lq, H*Dp)
+    dx_q, dx_kv, dwq, dwk, dwv = core_vjp(dy_heads.astype(o_heads.dtype))
+    dwout = (o_heads.reshape(B * Lq, -1).T @ dy.reshape(B * Lq, -1))
+    return (dx_q, dx_kv, dwq, dwk, dwv, dwout.astype(wout.dtype))
+
+
+_fused_core_out.defvjp(_fused_out_fwd, _fused_out_bwd)
+
+
 def fused_qkv_attention(
     x_q: jnp.ndarray,
     x_kv: jnp.ndarray,
@@ -200,3 +280,26 @@ def fused_qkv_attention(
     B, Lq, _ = x_q.shape
     out = _fused_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret)
     return out.reshape(B, Lq, heads, d_pad)
+
+
+def fused_qkv_out_attention(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wout: jnp.ndarray,
+    heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Fully-fused attention: projections + core + out-projection in one
+    kernel; neither q/k/v nor the (…, H*Dp) attention output touch HBM.
+    ``wout``: (H*Dp, C_out). The out bias is NOT applied (add it outside —
+    callers summing k attention branches need bias * k once).
+    Returns (B, Lq, C_out)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    d_pad = wq.shape[1] // heads
+    return _fused_core_out(x_q, x_kv, wq, wk, wv, wout, scale, heads, d_pad,
+                           interpret)

@@ -156,3 +156,41 @@ def test_fused_geglu_grad_matches_xla():
     gr = jax.grad(loss_ref, (0, 1, 2))(x, kernel, bias)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_qkv_out_attention_matches_composed():
+    from magicdrive_tpu.kernels.fused_attention import (
+        fused_qkv_attention, fused_qkv_out_attention)
+
+    rng = np.random.default_rng(2)
+    B, L, C, H, D, DP, CO = 2, 36, 48, 3, 16, 128, 48
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(C, H, D)) * 0.1).astype(np.float32))
+          for _ in range(3)]
+    wpad = [jnp.pad(w, ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP)
+            for w in ws]
+    wo = jnp.asarray((rng.normal(size=(H, D, CO)) * 0.1).astype(np.float32))
+    wo_pad = jnp.pad(wo, ((0, 0), (0, DP - D), (0, 0))).reshape(H * DP, CO)
+    scale = D ** -0.5
+
+    o_heads = fused_qkv_attention(x, x, *wpad, heads=H, scale=scale,
+                                  interpret=True)
+    want = o_heads.reshape(B, L, H * DP) @ wo_pad
+    got = fused_qkv_out_attention(x, x, *wpad, wo_pad, heads=H, scale=scale,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    def loss_f(x, w0, w1, w2, wo):
+        return (fused_qkv_out_attention(x, x, w0, w1, w2, wo, heads=H,
+                                        scale=scale, interpret=True) ** 2
+                ).mean()
+
+    def loss_r(x, w0, w1, w2, wo):
+        o = fused_qkv_attention(x, x, w0, w1, w2, heads=H, scale=scale,
+                                interpret=True)
+        return ((o.reshape(B, L, H * DP) @ wo) ** 2).mean()
+
+    gf = jax.grad(loss_f, (0, 1, 2, 3, 4))(x, *wpad, wo_pad)
+    gr = jax.grad(loss_r, (0, 1, 2, 3, 4))(x, *wpad, wo_pad)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
