@@ -73,6 +73,14 @@ def _pallas_route(Lq: int, Lk: int, d: int, has_bias: bool) -> bool:
             and not has_bias and on_tpu_by_default())
 
 
+def _fused_efficient(x, context, dim_head: int) -> bool:
+    from magicdrive_tpu.kernels.fused_attention import fused_is_efficient
+
+    return fused_is_efficient(x.shape[-2], context.shape[-2],
+                              max(x.shape[-1], context.shape[-1]), dim_head,
+                              2 if x.dtype == jnp.bfloat16 else 4)
+
+
 def head_pad_for(Lq: int, Lk: int, dim_head: int,
                  has_bias: bool = False) -> Optional[int]:
     """Padded head depth (128) when lane-padded projections pay off, else
@@ -312,7 +320,8 @@ class Attention(nn.Module):
         context = x if is_self else context
         if (_ATTN_IMPL == "fused" and bias is None and not self.use_bias
                 and _pallas_route(x.shape[-2], context.shape[-2],
-                                  self.dim_head, False)):
+                                  self.dim_head, False)
+                and _fused_efficient(x, context, self.dim_head)):
             return self.fused_attend(x, context)
         d_pad = head_pad_for(x.shape[-2], context.shape[-2], self.dim_head,
                              bias is not None)

@@ -232,8 +232,14 @@ class BasicTransformerBlock(nn.Module):
         scale = self.d_head ** -0.5
         from . import attention as _attn_mod
 
+        from magicdrive_tpu.kernels.fused_attention import fused_is_efficient
+
+        lk = L * (n_nb if self.neighboring_attn_type == "concat" else 1)
         use_fused = (_attn_mod._ATTN_IMPL == "fused"
-                     and _attn_mod._pallas_route(L, L, self.d_head, False))
+                     and _attn_mod._pallas_route(L, lk, self.d_head, False)
+                     and fused_is_efficient(
+                         L, lk, flat.shape[-1], self.d_head,
+                         2 if flat.dtype == jnp.bfloat16 else 4))
         if use_fused and self.neighboring_attn_type in ("add", "concat"):
             # Fully-fused path: per neighbor, hand the kernel the raw
             # hidden states — q/k/v and the per-head outputs never exist

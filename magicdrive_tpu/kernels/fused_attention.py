@@ -107,6 +107,18 @@ def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
     return 128
 
 
+def fused_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
+                       esize: int = 2) -> bool:
+    """The kernel recomputes k/v per q-block (nq blocks), so it pays off
+    only while the recompute FLOPs stay small next to the HBM round trips
+    it eliminates — nq <= 2 covers the 224x400 UNet levels (nq=2 costs
+    ~0.45 ms/core vs ~1.5 ms saved); the 272x736 level-0 (L=3128, nq~9)
+    falls back to the projected path."""
+    d_pad = _ceil_to(max(dim_head, 128), 128)
+    bq = _auto_bq(Lq, Lk, C, d_pad, esize)
+    return pl.cdiv(Lq, bq) <= 2
+
+
 def _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
                     wout=None):
     B, Lq, C = x_q.shape
