@@ -101,7 +101,8 @@ def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
             continue
         var = (bq * lk_pad * 4          # logits tile
                + bq * C * esize         # x_q
-               + 2 * bq * d_pad * 4)    # q fp32 + acc
+               + 2 * bq * d_pad * 4     # q fp32 + acc
+               + bq * C * 4)            # out-projection fp32 scratch
         if fixed + var <= _VMEM_BUDGET:
             return bq
     return 128
