@@ -17,8 +17,9 @@ no transposes are needed (the output is written head-lane-blocked,
 directly consumable by the padded ``to_out``), and no kv-length masking
 is needed (k has exactly Lk rows in VMEM).
 
-k/v are recomputed per q-block (cheap: 2*Lk*C*Dp MACs per step); at the
-flagship shapes every auto choice has nq == 1 anyway.
+k/v are recomputed per q-block (2*Lk*C*Dp MACs per step — ~0.45 ms/core
+at the flagship nq=2); ``fused_is_efficient`` routes shapes where the
+recompute would outweigh the HBM savings back to the projected path.
 
 Scope: no qkv bias (SD-1.5's UNet attentions have none — the biased VAE
 attention stays on the XLA path), no attention bias/mask.
