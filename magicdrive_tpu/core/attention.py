@@ -73,12 +73,21 @@ def _pallas_route(Lq: int, Lk: int, d: int, has_bias: bool) -> bool:
             and not has_bias and on_tpu_by_default())
 
 
-def _fused_efficient(x, context, dim_head: int) -> bool:
-    from magicdrive_tpu.kernels.fused_attention import fused_is_efficient
+def _fused_mode(x, context, dim_head: int) -> Optional[str]:
+    """Which projection-fused kernel serves this shape: "out" (recomputing
+    kernel with the out-projection fused, nq <= 2), "kvstat" (VMEM-resident
+    k/v for larger nq), or None (projected path)."""
+    from magicdrive_tpu.kernels.fused_attention import (fused_is_efficient,
+                                                        kvstat_is_efficient)
 
-    return fused_is_efficient(x.shape[-2], context.shape[-2],
-                              max(x.shape[-1], context.shape[-1]), dim_head,
-                              2 if x.dtype == jnp.bfloat16 else 4)
+    args = (x.shape[-2], context.shape[-2],
+            max(x.shape[-1], context.shape[-1]), dim_head,
+            2 if x.dtype == jnp.bfloat16 else 4)
+    if fused_is_efficient(*args):
+        return "out"
+    if kvstat_is_efficient(*args):
+        return "kvstat"
+    return None
 
 
 def head_pad_for(Lq: int, Lk: int, dim_head: int,
@@ -275,17 +284,22 @@ class Attention(nn.Module):
         return (self.to_q.padded_kernel(d), self.to_k.padded_kernel(d),
                 self.to_v.padded_kernel(d))
 
-    def fused_attend(self, x, context=None):
-        """Fully-fused attention (kernels/fused_attention.py): q/k/v AND
-        the per-head attention outputs never exist in HBM — the kernel
-        accumulates o_h @ Wout_h across heads and emits (…, L, C_out)
-        directly; only the out bias is added here."""
+    def fused_attend(self, x, context=None, mode: str = "out"):
+        """Projection-fused attention (kernels/fused_attention.py): q/k/v
+        never exist in HBM. ``mode="out"`` additionally fuses the
+        out-projection (the per-head attention outputs stay in VMEM too);
+        ``mode="kvstat"`` keeps k/v resident across q-blocks (the nq > 2
+        shapes) and projects out on the padded-head layout."""
         from magicdrive_tpu.kernels.fused_attention import (
-            fused_qkv_out_attention)
+            fused_kvstat_attention, fused_qkv_out_attention)
 
         context = x if context is None else context
         d = _LANE if self.dim_head % _LANE else self.dim_head
         wq, wk, wv = self.qkv_weights(d)
+        if mode == "kvstat":
+            o = fused_kvstat_attention(x, context, wq, wk, wv,
+                                       heads=self.heads, scale=self.scale)
+            return self.project_out(o)
         out = fused_qkv_out_attention(x, context, wq, wk, wv,
                                       self.to_out.padded_kernel(d),
                                       heads=self.heads, scale=self.scale)
@@ -320,9 +334,10 @@ class Attention(nn.Module):
         context = x if is_self else context
         if (_ATTN_IMPL == "fused" and bias is None and not self.use_bias
                 and _pallas_route(x.shape[-2], context.shape[-2],
-                                  self.dim_head, False)
-                and _fused_efficient(x, context, self.dim_head)):
-            return self.fused_attend(x, context)
+                                  self.dim_head, False)):
+            mode = _fused_mode(x, context, self.dim_head)
+            if mode is not None:
+                return self.fused_attend(x, context, mode=mode)
         d_pad = head_pad_for(x.shape[-2], context.shape[-2], self.dim_head,
                              bias is not None)
         if is_self:

@@ -90,6 +90,48 @@ def _fused_kernel_out(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         o_ref[0] = acc_scr[:].astype(out_dtype)
 
 
+_KV_CHUNK = 512  # rows per k/v projection chunk (bounds the fp32 temp)
+
+
+def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
+                         k_scr, v_scr, *, scale: float, out_dtype):
+    """KV-stationary variant: grid (B, H, nq) with the q-block axis
+    innermost, so k/v for the current (batch, head) are projected ONCE into
+    VMEM scratch (at q-block 0) and stay resident across all nq q-blocks —
+    removing the per-q-block k/v recompute that makes the (B, nq, H) kernel
+    uneconomical for nq > 2 (272x736/424x800 level-0, L in the thousands).
+    The projection runs in _KV_CHUNK-row chunks (static unroll) so the fp32
+    matmul temporary is chunk-sized — at 424x800 level-0 (Lk=5300) a
+    full-length fp32 k/v would alone blow the VMEM budget."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        Lk = xkv_ref.shape[1]
+        for start in range(0, Lk, _KV_CHUNK):
+            size = min(_KV_CHUNK, Lk - start)
+            xkv = xkv_ref[0, pl.dslice(start, size)]     # (size, C)
+            k = jax.lax.dot(xkv, wk_ref[...],
+                            preferred_element_type=jnp.float32)
+            v = jax.lax.dot(xkv, wv_ref[...],
+                            preferred_element_type=jnp.float32)
+            k_scr[pl.dslice(start, size), :] = k.astype(k_scr.dtype)
+            v_scr[pl.dslice(start, size), :] = v.astype(v_scr.dtype)
+
+    xq = xq_ref[0]                # (bq, C)
+    q = jax.lax.dot(xq, wq_ref[...],
+                    preferred_element_type=jnp.float32)   # (bq, Dp)
+    q = (q * scale).astype(xq.dtype)
+    s = jax.lax.dot_general(q, k_scr[...], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq, Lk)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot(p.astype(xq.dtype), v_scr[...],
+                    preferred_element_type=jnp.float32) / l
+    o_ref[0] = o.astype(out_dtype)
+
+
 def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
     """Largest q block whose working set fits VMEM: fp32 (bq, Lk) logits
     tile + x_q block + full x_kv + k/v/q fp32 intermediates."""
@@ -107,6 +149,39 @@ def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
         if fixed + var <= _VMEM_BUDGET:
             return bq
     return 128
+
+
+def _auto_bq_kvstat(Lq: int, Lk: int, C: int, d_pad: int,
+                    esize: int) -> Optional[int]:
+    """Largest q block fitting VMEM for the kv-stationary kernel: the fixed
+    set adds the resident k/v scratch (input dtype); the i==0 projection's
+    fp32 temporaries are only _KV_CHUNK rows (chunked unroll). None if even
+    bq=128 does not fit."""
+    lk_pad = _ceil_to(Lk, 16)
+    ck = min(lk_pad, _KV_CHUNK)
+    fixed = (Lk * C * esize               # x_kv
+             + 2 * (lk_pad * d_pad * esize)  # k/v scratch, resident
+             + 2 * (ck * d_pad * 4)       # chunked k/v fp32 projection temp
+             + 3 * C * d_pad * esize)     # weights
+    for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):
+        if bq > _ceil_to(Lq, 16):
+            continue
+        var = (bq * lk_pad * 4            # logits tile
+               + bq * lk_pad * esize      # p cast
+               + bq * C * esize           # x_q
+               + 2 * bq * d_pad * 4)      # q fp32 + o fp32
+        if fixed + var <= _VMEM_BUDGET:
+            return bq
+    return None
+
+
+def kvstat_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
+                        esize: int = 2) -> bool:
+    """Whether the kv-stationary fused kernel applies: k/v are projected
+    once per (batch, head) regardless of nq, so the only constraint is that
+    the full k/v (plus a q block's working set) fit VMEM."""
+    d_pad = _ceil_to(max(dim_head, 128), 128)
+    return _auto_bq_kvstat(Lq, Lk, C, d_pad, esize) is not None
 
 
 def fused_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
@@ -177,6 +252,43 @@ def _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
     )(*args, wout)
 
 
+def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
+                     bq: Optional[int] = None):
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, C = x_q.shape
+    Lk, Ck = x_kv.shape[1], x_kv.shape[2]
+    if bq is None:
+        bq = _auto_bq_kvstat(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize)
+        assert bq is not None, "caller must check kvstat_is_efficient"
+    nq = pl.cdiv(Lq, bq)
+
+    kernel = functools.partial(_fused_kvstat_kernel, scale=scale,
+                               out_dtype=x_q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, heads, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, h, i: (b, i, 0)),
+            pl.BlockSpec((1, Lk, Ck), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((C, d_pad), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
+        scratch_shapes=[pltpu.VMEM((Lk, d_pad), x_q.dtype),
+                        pltpu.VMEM((Lk, d_pad), x_q.dtype)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * (Lq * C + 2 * Lk * Ck) * d_pad
+            + 4 * B * heads * Lq * Lk * d_pad,
+            bytes_accessed=2 * B * (Lk * Ck + Lq * C + Lq * heads * d_pad),
+            transcendentals=B * heads * Lq * Lk,
+        ),
+    )(x_q, x_kv, wq, wk, wv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _fused_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
     return _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
@@ -240,6 +352,25 @@ def _fused_bwd(scale, heads, d_pad, interpret, res, dy):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_kvstat_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                       interpret):
+    return _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                            interpret)
+
+
+def _fused_kvstat_fwd(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
+    y = _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                         interpret)
+    return y, (x_q, x_kv, wq, wk, wv)
+
+
+# the backward recomputes q/k/v with XLA matmuls and reuses the flash
+# fwd(+lse)/bwd pair — identical output layout, so the (B, nq, H) kernel's
+# backward serves the kv-stationary forward unchanged.
+_fused_kvstat_core.defvjp(_fused_kvstat_fwd, _fused_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _fused_core_out(x_q, x_kv, wq, wk, wv, wout, scale, heads, d_pad,
                     interpret):
@@ -293,6 +424,31 @@ def fused_qkv_attention(
     d_pad = wq.shape[1] // heads
     B, Lq, _ = x_q.shape
     out = _fused_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret)
+    return out.reshape(B, Lq, heads, d_pad)
+
+
+def fused_kvstat_attention(
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Projection-fused attention with VMEM-resident k/v (one projection
+    per (batch, head) regardless of the q-block count) — the fused path for
+    shapes where nq > 2 makes the recomputing kernel uneconomical.
+
+    Same contract as :func:`fused_qkv_attention`: returns (B, Lq, H, Dp) in
+    the padded-head layout ``Attention.project_out`` consumes."""
+    if interpret is None:
+        interpret = _interpret_default()
+    d_pad = wq.shape[1] // heads
+    B, Lq, _ = x_q.shape
+    out = _fused_kvstat_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
+                             interpret)
     return out.reshape(B, Lq, heads, d_pad)
 
 

@@ -194,3 +194,87 @@ def test_fused_qkv_out_attention_matches_composed():
     gr = jax.grad(loss_r, (0, 1, 2, 3, 4))(x, *wpad, wo_pad)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_kvstat_matches_composed():
+    """The kv-stationary fused kernel must match the recomputing fused
+    kernel (itself parity-tested) — including with a forced-small q block
+    so k/v scratch persistence across nq > 1 grid steps is exercised."""
+    from magicdrive_tpu.kernels.fused_attention import (
+        _kvstat_fwd_impl, fused_kvstat_attention, fused_qkv_attention)
+
+    rng = np.random.default_rng(3)
+    B, L, C, H, D, DP = 2, 48, 32, 2, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(C, H, D)) * 0.1).astype(np.float32))
+          for _ in range(3)]
+    wpad = [jnp.pad(w, ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP)
+            for w in ws]
+    scale = D ** -0.5
+
+    want = fused_qkv_attention(x, x, *wpad, heads=H, scale=scale,
+                               interpret=True)
+    got = fused_kvstat_attention(x, x, *wpad, heads=H, scale=scale,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    # nq = 3 with bq=16: the scratch is written at q-block 0 of each
+    # (batch, head) and must survive the later q-blocks
+    got_blocked = _kvstat_fwd_impl(x, x, *wpad, scale=scale, heads=H,
+                                   d_pad=DP, interpret=True, bq=16)
+    np.testing.assert_allclose(
+        np.asarray(got_blocked.reshape(B, L, H, DP)), np.asarray(want),
+        atol=2e-6)
+
+    # chunked k/v projection (L=48 with 16-row chunks -> 3 chunks)
+    import magicdrive_tpu.kernels.fused_attention as fa
+    old = fa._KV_CHUNK
+    try:
+        fa._KV_CHUNK = 16
+        got_chunked = _kvstat_fwd_impl(x, x, *wpad, scale=scale, heads=H,
+                                       d_pad=DP, interpret=True, bq=16)
+    finally:
+        fa._KV_CHUNK = old
+    np.testing.assert_allclose(
+        np.asarray(got_chunked.reshape(B, L, H, DP)), np.asarray(want),
+        atol=2e-6)
+
+
+def test_fused_kvstat_grad_matches_composed():
+    from magicdrive_tpu.kernels.fused_attention import (
+        fused_kvstat_attention, fused_qkv_attention)
+
+    rng = np.random.default_rng(4)
+    B, L, C, H, D, DP = 1, 24, 16, 2, 8, 128
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    wpad = [jnp.pad(jnp.asarray(
+        (rng.normal(size=(C, H, D)) * 0.1).astype(np.float32)),
+        ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP) for _ in range(3)]
+    scale = D ** -0.5
+
+    def loss(fn, x, w0, w1, w2):
+        return (fn(x, x, w0, w1, w2, heads=H, scale=scale,
+                   interpret=True) ** 2).mean()
+
+    gk = jax.grad(lambda *a: loss(fused_kvstat_attention, *a),
+                  (0, 1, 2, 3))(x, *wpad)
+    gr = jax.grad(lambda *a: loss(fused_qkv_attention, *a),
+                  (0, 1, 2, 3))(x, *wpad)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fused_mode_routing():
+    """224x400 levels route to the out-fused kernel; 272x736 level-0
+    (nq ~ 9) routes to kv-stationary instead of falling back."""
+    from magicdrive_tpu.kernels.fused_attention import (
+        fused_is_efficient, kvstat_is_efficient)
+
+    # flagship level-0: L=1400, C=320, D=40 -> recomputing kernel (nq <= 2)
+    assert fused_is_efficient(1400, 1400, 320, 40)
+    # 272x736 level-0: L=3128 -> nq too large for recompute, kvstat fits
+    assert not fused_is_efficient(3128, 3128, 320, 40)
+    assert kvstat_is_efficient(3128, 3128, 320, 40)
+    # 424x800 level-0: L=5300
+    assert not fused_is_efficient(5300, 5300, 320, 40)
+    assert kvstat_is_efficient(5300, 5300, 320, 40)
