@@ -36,6 +36,36 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(x.dtype)))
 
 
+def _erf_f32(x):
+    """float32 erf as a clamped rational polynomial (the Cephes/Eigen
+    approximation XLA itself lowers f32 erf to; |err| < ~1e-7).
+
+    Mosaic's Pallas TPU lowering has no `erf` primitive (it raised
+    NotImplementedError on the real chip), so the kernel evaluates the
+    polynomial directly — mul/add run on the VPU at full rate.
+    """
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.float32(-2.72614225801306e-10)
+    p = p * x2 + jnp.float32(+2.77068142495902e-08)
+    p = p * x2 + jnp.float32(-2.10102402082508e-06)
+    p = p * x2 + jnp.float32(-5.69250639462346e-05)
+    p = p * x2 + jnp.float32(-7.34990630326855e-04)
+    p = p * x2 + jnp.float32(-2.95459980854025e-03)
+    p = p * x2 + jnp.float32(-1.60960333262415e-02)
+    p = p * x
+    q = jnp.float32(-1.45660718464996e-05)
+    q = q * x2 + jnp.float32(-2.13374055278905e-04)
+    q = q * x2 + jnp.float32(-1.68282697438203e-03)
+    q = q * x2 + jnp.float32(-7.37332916720468e-03)
+    q = q * x2 + jnp.float32(-1.42647390514189e-02)
+    return p / q
+
+
+def _gelu_exact_in_kernel(x):
+    return 0.5 * x * (1.0 + _erf_f32(x * jnp.float32(1.0 / np.sqrt(2.0))))
+
+
 def _kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, o_ref):
     x = x_ref[...]
     hv = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
@@ -43,7 +73,7 @@ def _kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, o_ref):
     if bv_ref is not None:
         hv = hv + bv_ref[...].astype(jnp.float32)
         hg = hg + bg_ref[...].astype(jnp.float32)
-    o_ref[...] = (hv * _gelu_exact(hg)).astype(o_ref.dtype)
+    o_ref[...] = (hv * _gelu_exact_in_kernel(hg)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
