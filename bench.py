@@ -61,17 +61,39 @@ def main() -> None:
         preset = tiny_debug()
 
     modules = preset.modules(dtype=dtype)
-    # Init on host, store frozen weights in bf16, transfer once: eager init
-    # through the device tunnel is minutes of op-by-op round-trips, and bf16
-    # weight storage halves HBM weight reads (numerically identical — the
-    # modules cast to bf16 compute per use anyway).
+    # Param init: the metric is THROUGHPUT of the jitted pipeline with params
+    # as runtime device arrays — TPU matmul/conv/softmax timing is
+    # data-independent, so the bench materializes random-normal params
+    # directly ON DEVICE from eval_shape'd shapes (seconds) instead of
+    # running the full-size flax host init (which costs ~30 min of wall on a
+    # 1-core driver host and a multi-GB tunnel transfer, without changing
+    # the measured program). MAGICDRIVE_BENCH_INIT=host restores flax init.
     from magicdrive_tpu.utils.params import cast_floating
 
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = init_params(preset, modules, jax.random.PRNGKey(0))
-        if on_tpu:
-            params = cast_floating(params, jnp.bfloat16)
-    params = jax.device_put(params, jax.devices()[0])
+    if os.environ.get("MAGICDRIVE_BENCH_INIT") == "host":
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_params(preset, modules, jax.random.PRNGKey(0))
+            if on_tpu:
+                params = cast_floating(params, jnp.bfloat16)
+        params = jax.device_put(params, jax.devices()[0])
+    else:
+        shapes = jax.eval_shape(
+            lambda: init_params(preset, modules, jax.random.PRNGKey(0)))
+
+        def materialize():
+            leaves, treedef = jax.tree.flatten(shapes)
+            key = jax.random.PRNGKey(0)
+            out = []
+            for i, s in enumerate(leaves):
+                if jnp.issubdtype(s.dtype, jnp.floating):
+                    d = dtype if on_tpu else jnp.float32
+                    out.append(0.02 * jax.random.normal(
+                        jax.random.fold_in(key, i), s.shape, d))
+                else:
+                    out.append(jnp.zeros(s.shape, s.dtype))
+            return jax.tree.unflatten(treedef, out)
+
+        params = jax.jit(materialize)()
     pipe = MagicDrivePipeline(modules, params, preset.pipeline)
 
     # B=4 measured ~6% higher frames/sec than B=1 (throughput metric)
@@ -104,6 +126,10 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = B * iters / dt
+    from magicdrive_tpu.core.attention import get_attention_backend
+    from magicdrive_tpu.core import attention as _attn
+    from magicdrive_tpu.core import resnet as _resnet
+    from magicdrive_tpu.core import transformer as _tfm
     print(json.dumps({
         "metric": "6-view 224x400 frames/sec/chip (CFG, 20-step sampler, "
                   "VAE decode; one jitted call)" if on_tpu else
@@ -111,6 +137,17 @@ def main() -> None:
         "value": round(fps, 4),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_A800_FPS, 4),
+        # effective perf-relevant config, so BENCH_rN deltas are attributable
+        "config": {
+            "platform": platform,
+            "batch": B,
+            "attn_backend": get_attention_backend(),
+            "attn_impl": _attn._ATTN_IMPL,
+            "qkv_proj": _attn._QKV_PROJ,
+            "ff_impl": os.environ.get("MAGICDRIVE_FF_IMPL", _tfm._FF_DEFAULT),
+            "gn_impl": _resnet.GN_IMPL,
+            "norm_apply": _resnet.NORM_APPLY,
+        },
     }))
 
 

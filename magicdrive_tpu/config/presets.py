@@ -141,6 +141,42 @@ def micro_video_debug(n_frames: int = 4, n_cam: int = 6) -> ModelPreset:
     return dataclasses.replace(base, name="micro-video-debug", unet=unet)
 
 
+def small_parity(n_cam: int = 6) -> ModelPreset:
+    """Structurally FULL-DEPTH architecture (4 UNet blocks, 4 VAE blocks,
+    real CLIP layout) at narrow widths — every checkpoint key PATTERN of the
+    released models at ~1/100 the size. Used by the converter CLI self-test
+    (``tools/convert_weights.py --arch small-test`` +
+    tests/test_convert_cli.py) so the synthetic released-checkpoint trees
+    convert in seconds. Key names don't depend on widths, so strict
+    conversion success here validates day-1 handling of the real layouts
+    (ref:magicdrive/runner/multiview_runner.py:233-242 save_pretrained dirs,
+    HF SD-1.5 unet/vae/text_encoder dirs)."""
+    unet = UNetConfig(
+        block_out_channels=(32, 32, 64, 64), layers_per_block=2,
+        num_attention_heads=4, cross_attention_dim=32, norm_num_groups=8,
+        neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        camera_out_dim=32, map_size=(8, 200, 200),
+        map_embedder_out_channels=(4, 8, 16, 16),
+        bbox=BBoxEmbedderConfig(n_classes=10, class_token_dim=32,
+                                proj_dims=(32, 16, 16, 32)),
+    )
+    return ModelPreset(
+        name="small-parity", unet=unet, controlnet=cn,
+        vae=VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                      norm_num_groups=8),
+        clip=CLIPTextConfig(vocab_size=49408, hidden_size=32, num_layers=2,
+                            num_heads=4, intermediate_size=64),
+        # 224x400 -> 28x50 latent: the standard map embedder's conv-stack
+        # geometry maps the 200x200 BEV to exactly this latent size
+        pipeline=PipelineConfig(latent_height=28, latent_width=50,
+                                num_inference_steps=2, n_cam=n_cam,
+                                dtype=jnp.float32),
+        image_size=(224, 400), bbox_max_len=8,
+    )
+
+
 def preset_from_config(cfg) -> ModelPreset:
     """Build a ModelPreset from a composed YAML config tree
     (magicdrive_tpu.config.loader.compose over repo ``configs/``)."""

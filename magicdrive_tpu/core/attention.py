@@ -54,6 +54,24 @@ import os as _os
 
 _ATTN_IMPL = _os.environ.get("MAGICDRIVE_ATTN_IMPL", "projected")
 
+# QKV projection fusion knob: "fused" (default) projects self-attention
+# q/k/v in one concatenated matmul (one MXU launch); "separate" restores
+# the three independent projections. Same math/params either way — the
+# knob exists to A/B the launch-count trade on real hardware (the fusion
+# landed unmeasured during a round-2 tunnel outage).
+_QKV_PROJ = _os.environ.get("MAGICDRIVE_QKV_PROJ", "fused")
+
+
+def tag_attn_out(x):
+    """checkpoint_name tag consumed by the UNet's selective remat policy
+    (``UNetConfig.remat_policy="attn"``): the backward pass keeps attention
+    outputs resident instead of recomputing the cores — the most expensive
+    recompute in the per-block remat (PERFORMANCE.md round-2 bisection:
+    attention cores are 65 of the 164 ms UNet forward)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(x, "attn_out")
+
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
@@ -299,13 +317,13 @@ class Attention(nn.Module):
         if mode == "kvstat":
             o = fused_kvstat_attention(x, context, wq, wk, wv,
                                        heads=self.heads, scale=self.scale)
-            return self.project_out(o)
+            return tag_attn_out(self.project_out(o))
         out = fused_qkv_out_attention(x, context, wq, wk, wv,
                                       self.to_out.padded_kernel(d),
                                       heads=self.heads, scale=self.scale)
         if self.to_out.bias is not None:
             out = out + self.to_out.bias.astype(self.dtype)
-        return out
+        return tag_attn_out(out)
 
     def project_qkv(self, x, d_pad: Optional[int] = None):
         """Self-attention q/k/v in ONE matmul: the three kernels are
@@ -314,6 +332,10 @@ class Attention(nn.Module):
         Identical math and params to the separate projections."""
         h = self.heads
         d = d_pad or self.dim_head
+        if _QKV_PROJ == "separate":
+            q = self.project_q(x, d_pad)
+            k, v = self.project_kv(x, d_pad)
+            return q, k, v
         projs = (self.to_q, self.to_k, self.to_v)
         kernel = jnp.concatenate([p.padded_kernel(d) for p in projs], axis=-1)
         y = x @ kernel
@@ -346,4 +368,4 @@ class Attention(nn.Module):
             q = self.project_q(x, d_pad)
             k, v = self.project_kv(context, d_pad)
         out = dot_product_attention(q, k, v, bias=bias, scale=self.scale)
-        return self.project_out(out)
+        return tag_attn_out(self.project_out(out))

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 from einops import rearrange
 
-from .attention import Attention, dot_product_attention, head_pad_for
+from .attention import (Attention, dot_product_attention, head_pad_for,
+                        tag_attn_out)
 
 
 def zeros_dense(features, dtype, name):
@@ -316,7 +317,7 @@ class BasicTransformerBlock(nn.Module):
         else:
             raise ValueError(self.neighboring_attn_type)
 
-        out = rearrange(out, "b n l c -> (b n) l c")
+        out = tag_attn_out(rearrange(out, "b n l c -> (b n) l c"))
         if self.zero_module_type == "zero_linear":
             out = zeros_dense(self.dim, self.dtype, "connector")(out)
         elif self.zero_module_type == "gated":

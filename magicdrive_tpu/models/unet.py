@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -54,6 +55,13 @@ class UNetConfig:
     # per-block gradient checkpointing,
     # ref:unet_2d_condition_multiview.py:273-292) — trades FLOPs for HBM
     gradient_checkpointing: bool = False
+    # selective remat policy (only with gradient_checkpointing):
+    #   None   — full per-block remat (recompute everything)
+    #   "attn" — keep attention outputs resident (tag_attn_out), recompute
+    #            only convs/norms/FF: skips the most expensive recompute at
+    #            ~(B*N, L, C)-per-attention extra HBM
+    #   "dots" — jax dots_saveable (keep every matmul output; most memory)
+    remat_policy: Optional[str] = None
 
     @property
     def up_block_has_attn(self) -> Tuple[bool, ...]:
@@ -206,9 +214,17 @@ class UNet2DConditionModel(nn.Module):
         down_cls, up_cls, mid_cls = CrossAttnDownBlock, CrossAttnUpBlock, \
             UNetMidBlock
         if cfg.gradient_checkpointing:
-            down_cls = nn.remat(CrossAttnDownBlock)
-            up_cls = nn.remat(CrossAttnUpBlock)
-            mid_cls = nn.remat(UNetMidBlock)
+            kw = {}
+            if cfg.remat_policy == "attn":
+                kw["policy"] = jax.checkpoint_policies.save_only_these_names(
+                    "attn_out")
+            elif cfg.remat_policy == "dots":
+                kw["policy"] = jax.checkpoint_policies.dots_saveable
+            elif cfg.remat_policy is not None:
+                raise ValueError(cfg.remat_policy)
+            down_cls = nn.remat(CrossAttnDownBlock, **kw)
+            up_cls = nn.remat(CrossAttnUpBlock, **kw)
+            mid_cls = nn.remat(UNetMidBlock, **kw)
 
         skips = [x]
         for i, out_ch in enumerate(cfg.block_out_channels):

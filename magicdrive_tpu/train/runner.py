@@ -51,7 +51,8 @@ def train_config_from_cfg(rc) -> TrainConfig:
         prediction_type=rc["prediction_type"],
         train_with_same_t=rc["train_with_same_t"],
         train_with_same_noise=rc["train_with_same_noise"],
-        noise_offset=rc["noise_offset"])
+        noise_offset=rc["noise_offset"],
+        use_8bit_adam=bool(rc.get("use_8bit_adam", False)))
 
 
 class CheckpointManager:

@@ -31,6 +31,12 @@ class TrainConfig:
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
+    # int8 block-quantized Adam moments (train/adam8bit.py) — the reference's
+    # bitsandbytes AdamW8bit knob (ref:base_runner.py:181-216). With the
+    # frozen partition already stored bf16, optimizer state is the next
+    # largest training allocation (2x fp32 moments over ~380M trainable
+    # params = 3.0 GB -> 0.8 GB quantized).
+    use_8bit_adam: bool = False
     max_grad_norm: float = 1.0
     lr_warmup_steps: int = 3000
     lr_schedule: str = "constant_with_warmup"  # | cosine
@@ -84,12 +90,17 @@ def make_lr_schedule(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
+    if cfg.use_8bit_adam:
+        from magicdrive_tpu.train.adam8bit import adamw_8bit
+
+        adam = adamw_8bit(
             make_lr_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
-            eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay),
-    )
+            eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay)
+    else:
+        adam = optax.adamw(
+            make_lr_schedule(cfg), b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), adam)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx

@@ -158,3 +158,127 @@ def test_gradient_checkpointing_identity():
     d = jax.tree_util.tree_map(
         lambda a, b: float(jnp.abs(a - b).max()), g, gr)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_adamw8bit_quantize_roundtrip():
+    from magicdrive_tpu.train.adam8bit import _dequantize, _quantize
+
+    rs = np.random.RandomState(0)
+    for shape in [(7,), (300,), (13, 100), (2, 3, 5)]:
+        x = (rs.randn(*shape) * rs.uniform(1e-4, 10)).astype(np.float32)
+        q = _quantize(jnp.asarray(x))
+        assert q.q.dtype == jnp.int8
+        y = np.asarray(_dequantize(q, shape))
+        # linear absmax int8: error bounded by scale/2 = absmax/254 per block
+        assert np.abs(y - x).max() <= np.abs(x).max() / 127.0
+    # zeros stay exactly zero (scale guard)
+    z = _quantize(jnp.zeros((512,)))
+    np.testing.assert_array_equal(np.asarray(_dequantize(z, (512,))), 0.0)
+
+
+def test_adamw8bit_matches_fp32_adamw_convergence():
+    """8-bit AdamW reaches the fp32 optimum on a least-squares problem
+    (the reference's bitsandbytes AdamW8bit knob, ref:base_runner.py:181-216)."""
+    import optax
+
+    from magicdrive_tpu.train.adam8bit import adamw_8bit
+
+    rs = np.random.RandomState(1)
+    A = jnp.asarray(rs.randn(64, 32).astype(np.float32))
+    b = jnp.asarray(rs.randn(64).astype(np.float32))
+    loss = lambda w: jnp.mean((A @ w - b) ** 2)
+
+    def run(tx):
+        w = jnp.zeros((32,))
+        st = tx.init(w)
+        step = jax.jit(lambda w, st: (lambda g: tx.update(g, st, w))(
+            jax.grad(loss)(w)))
+        for _ in range(300):
+            upd, st = step(w, st)
+            w = optax.apply_updates(w, upd)
+        return float(loss(w))
+
+    l8 = run(adamw_8bit(1e-2, weight_decay=0.0))
+    l32 = run(optax.adamw(1e-2, weight_decay=0.0))
+    assert l8 < 1.05 * l32 + 1e-3, (l8, l32)
+
+
+def test_adamw8bit_state_is_int8_and_trains():
+    """TrainConfig(use_8bit_adam=True) plumbs through make_optimizer; the
+    moment state is int8; one optimizer step updates params."""
+    from flax import traverse_util
+
+    from magicdrive_tpu.train.adam8bit import ScaleByAdam8bitState
+    from magicdrive_tpu.train.state import TrainConfig, create_train_state
+
+    params = {"controlnet": {"params": {"w": jnp.ones((1000,)),
+                                        "b": jnp.zeros((30,))}},
+              "vae": {"params": {"w": jnp.ones((4,))}}}
+    cfg = TrainConfig(use_8bit_adam=True, lr_warmup_steps=1)
+    state = create_train_state(params, cfg)
+
+    def find8(node):
+        if isinstance(node, ScaleByAdam8bitState):
+            return node
+        if hasattr(node, "_fields"):
+            for v in node:
+                r = find8(v)
+                if r is not None:
+                    return r
+        if isinstance(node, (tuple, list)):
+            for v in node:
+                r = find8(v)
+                if r is not None:
+                    return r
+        return None
+
+    s8 = find8(state.opt_state)
+    assert s8 is not None
+    for q in traverse_util.flatten_dict(s8.mu).values():
+        pass  # mu is a dict of _Quantized namedtuples
+    leaves = jax.tree.leaves(s8.mu)
+    assert any(l.dtype == jnp.int8 for l in leaves)
+
+    grads = jax.tree.map(jnp.ones_like, state.trainable)
+    # two steps: lr_warmup_steps=1 makes the very first update lr=0
+    mid_state = state.apply_gradients(grads)
+    new_state = mid_state.apply_gradients(grads)
+    assert int(new_state.step) == 2
+    dw = np.asarray(new_state.trainable["controlnet/params/w"]
+                    - state.trainable["controlnet/params/w"])
+    assert np.all(dw != 0.0)
+    # frozen partition untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_state.frozen["vae/params/w"]),
+        np.asarray(state.frozen["vae/params/w"]))
+
+
+def test_remat_policy_attn_identity():
+    """Selective remat (remat_policy='attn': attention outputs kept
+    resident) — same params, outputs, and grads as the plain UNet."""
+    import dataclasses
+
+    from magicdrive_tpu.models.unet import (
+        NUSCENES_NEIGHBORS, UNet2DConditionModel, UNetConfig,
+    )
+
+    cfg = UNetConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     num_attention_heads=2, cross_attention_dim=12,
+                     norm_num_groups=4, down_block_has_attn=(True, True),
+                     neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cfg_r = dataclasses.replace(cfg, gradient_checkpointing=True,
+                                remat_policy="attn")
+    m, mr = UNet2DConditionModel(cfg), UNet2DConditionModel(cfg_r)
+    x = jax.random.normal(jax.random.PRNGKey(0), (6, 8, 8, 4))
+    t = jnp.zeros((6,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (6, 9, 12))
+    v = m.init(jax.random.PRNGKey(2), x, t, ctx)
+    vr = mr.init(jax.random.PRNGKey(2), x, t, ctx)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vr)
+    np.testing.assert_allclose(np.asarray(m.apply(v, x, t, ctx)),
+                               np.asarray(mr.apply(v, x, t, ctx)), atol=1e-5)
+    g = jax.grad(lambda p: (m.apply(p, x, t, ctx) ** 2).mean())(v)
+    gr = jax.grad(lambda p: (mr.apply(p, x, t, ctx) ** 2).mean())(vr)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), g, gr)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-5

@@ -1,0 +1,208 @@
+"""On-chip measurement matrix for the perf knobs (VERDICT r2 items 1-2).
+
+Measures the honest per-step pipeline cost (one full denoise step — CN +
+UNet + CFG + UniPC update — as its own jitted function with params as
+runtime ARGUMENTS, exactly tools/bench_step.py) under each knob config:
+
+  A  qkv=fused     attn=projected  ff=xla    (HEAD default)
+  B  qkv=separate  attn=projected  ff=xla    (pre-0b760d8: the config that
+                                              measured 234 ms / 0.854 f/s)
+  C  qkv=fused     attn=fused      ff=xla    (projection-fused megakernel)
+  D  qkv=fused     attn=projected  ff=fused  (fused GEGLU)
+  E  qkv=fused     attn=fused      ff=fused
+  A' repeat of A                              (bounds tunnel variance)
+
+plus one VAE-decode timing, so each row reports implied frames/s
+(B / (20*step + vae)).
+
+Params/activations are ZEROS materialized directly on device via a jitted
+fill — TPU matmul/softmax timing is data-independent and params remain
+runtime arguments, so this measures the same program as bench_step.py while
+skipping the ~30 min of full-size host-side init the 1-core host pays
+(verify SKILL.md notes). The knobs are module globals read at trace time,
+so each config re-jits in-process; the persistent compile cache makes
+repeat runs cheap.
+
+Usage: python tools/bench_matrix.py [configs...]   (default: A B C D E A)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.path.isdir("/root/.axon_site"):
+    sys.path.append("/root/.axon_site")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from einops import rearrange, repeat
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/magicdrive_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+from magicdrive_tpu.config.presets import (init_params, sd15mv_rawbox_224x400,
+                                            sd15mv_rawbox_272x736)
+from magicdrive_tpu.diffusion.samplers import make_sampler_coeffs
+from magicdrive_tpu.core import attention as attn_mod
+import magicdrive_tpu.core.resnet  # noqa: F401  (knob modules importable)
+
+# MAGICDRIVE_BENCH_PRESET=272x736 measures the hi-res model (kvstat kernel
+# territory: L=3128 level-0); default is the flagship 224x400.
+_HIRES = os.environ.get("MAGICDRIVE_BENCH_PRESET") == "272x736"
+B = int(os.environ.get("MAGICDRIVE_BENCH_BATCH", "1" if _HIRES else "4"))
+N = 6
+preset = sd15mv_rawbox_272x736() if _HIRES else sd15mv_rawbox_224x400()
+modules = preset.modules(dtype=jnp.bfloat16)
+m = modules
+pcfg = preset.pipeline
+coeffs = make_sampler_coeffs(modules.schedule, 20, "unipc")
+
+CONFIGS = {
+    "A": dict(qkv="fused", attn="projected", ff="xla"),
+    "B": dict(qkv="separate", attn="projected", ff="xla"),
+    "C": dict(qkv="fused", attn="fused", ff="xla"),
+    "D": dict(qkv="fused", attn="projected", ff="fused"),
+    "E": dict(qkv="fused", attn="fused", ff="fused"),
+}
+
+
+def set_knobs(cfg):
+    attn_mod._QKV_PROJ = cfg["qkv"]
+    attn_mod._ATTN_IMPL = cfg["attn"]
+    os.environ["MAGICDRIVE_FF_IMPL"] = cfg["ff"]
+
+
+def fetch(tree):
+    x = jax.tree.leaves(tree)[0]
+    return np.asarray(x.ravel()[:2])
+
+
+# ---- zeros params/operands ON DEVICE (no host init, no transfer) ----
+t0 = time.time()
+shapes = jax.eval_shape(lambda: init_params(preset, modules,
+                                            jax.random.PRNGKey(0)))
+
+
+def _zeros():
+    def z(s):
+        dt = (jnp.bfloat16 if jnp.issubdtype(s.dtype, jnp.floating)
+              else s.dtype)
+        return jnp.zeros(s.shape, dt)
+    return jax.tree.map(z, shapes)
+
+
+params = jax.jit(_zeros)()
+fetch(params)
+print(f"device zeros params ready in {time.time()-t0:.0f}s", flush=True)
+
+L = preset.bbox_max_len
+h, w = pcfg.latent_height, pcfg.latent_width
+inv = dict(
+    camera2=jnp.zeros((2 * B, N, 3, 7), jnp.bfloat16),
+    map2=jnp.zeros((2 * B, *preset.map_hw, preset.map_channels),
+                   jnp.bfloat16),
+    bboxes2=jnp.zeros((2 * B, N, L, 8, 3), jnp.bfloat16),
+    classes2=jnp.zeros((2 * B, N, L), jnp.int32),
+    masks2=jnp.zeros((2 * B, N, L), jnp.bfloat16),
+    tokens2=jnp.zeros((2 * B, N, 1 + 77 + L, 768), jnp.bfloat16),
+    cond_feat2=None,  # set below
+)
+# cond_feat shape: run embed_map once jitted on zeros map
+from magicdrive_tpu.models.controlnet import BEVControlNet
+
+cond_feat2 = jax.jit(lambda p, mp: m.controlnet.apply(
+    p["controlnet"], mp, method=BEVControlNet.embed_map))(params, inv["map2"])
+inv["cond_feat2"] = cond_feat2
+fetch(cond_feat2)
+
+x0 = jnp.zeros((B, N, h, w, 4), jnp.float32)
+state0 = coeffs.init_state(x0.shape, jnp.float32)
+timesteps = jnp.asarray(coeffs.timesteps)
+
+
+def one_step(params, x, state, inv, i):
+    t = timesteps[i]
+    lat2 = jnp.concatenate([x, x]).astype(pcfg.dtype)
+    t2 = jnp.broadcast_to(t[None], (2 * B,))
+    down_res, mid_res, _ = m.controlnet.apply(
+        params["controlnet"], lat2, t2, inv["camera2"],
+        jnp.zeros((2 * B, 77, 768), jnp.bfloat16), inv["map2"],
+        inv["bboxes2"], inv["classes2"], inv["masks2"],
+        conditioning_scale=1.0, tokens=inv["tokens2"],
+        cond_feat=inv["cond_feat2"])
+    eps = m.unet.apply(
+        params["unet"], rearrange(lat2, "b n h w c -> (b n) h w c"),
+        repeat(t2, "b -> (b n)", n=N),
+        rearrange(inv["tokens2"], "b n l c -> (b n) l c"),
+        down_block_additional_residuals=down_res,
+        mid_block_additional_residual=mid_res)
+    eps = rearrange(eps, "(b n) h w c -> b n h w c", n=N)
+    eps_u, eps_c = jnp.split(eps, 2)
+    eps = eps_u + pcfg.guidance_scale * (eps_c - eps_u)
+    x, state = coeffs.step(i, x, eps, state)
+    return x, state
+
+
+def vae_decode(params, lat):
+    from magicdrive_tpu.models.vae import AutoencoderKL
+
+    img = m.vae.apply(params["vae"], lat, method=AutoencoderKL.decode)
+    return img
+
+
+def timeit(jf, args, iters=10):
+    out = jf(*args)  # compile + warm
+    fetch(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jf(*args)
+    fetch(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    order = sys.argv[1:] or ["A", "B", "C", "D", "E", "A"]
+    lat_flat = jnp.zeros((B * N, h, w, 4), jnp.bfloat16)
+    vae_ms = None
+    results = []
+    if "vae" in order:  # VAE-decode norm-apply A/B (129 ms, 40% MFU suspect)
+        order.remove("vae")
+        import magicdrive_tpu.core.resnet as resnet_mod
+
+        for apply_mode in ("fp32", "compute"):
+            resnet_mod.NORM_APPLY = apply_mode
+            ms = timeit(jax.jit(lambda *a: vae_decode(*a)),
+                        (params, lat_flat)) * 1e3
+            print(f"vae decode ({B*N} imgs) NORM_APPLY={apply_mode}: "
+                  f"{ms:.1f} ms", flush=True)
+        resnet_mod.NORM_APPLY = "fp32"
+    for name in order:
+        cfg = CONFIGS[name]
+        set_knobs(cfg)
+        try:
+            t0 = time.time()
+            # fresh function object per config: jit's trace cache keys on
+            # callable identity, so jit(one_step) again would silently reuse
+            # the previous config's trace (the knobs are trace-time globals)
+            f = jax.jit(lambda *a: one_step(*a))
+            dt = timeit(f, (params, x0, state0, inv, 5))
+            if vae_ms is None:
+                vae_ms = timeit(jax.jit(vae_decode), (params, lat_flat)) * 1e3
+                print(f"vae decode ({B*N} imgs): {vae_ms:.1f} ms", flush=True)
+            fps = B / (20 * dt + vae_ms / 1e3)
+            results.append((name, cfg, dt * 1e3, fps))
+            print(f"{name} {cfg}: step {dt*1e3:7.2f} ms  "
+                  f"implied {fps:.4f} frames/s  "
+                  f"(compile+measure {time.time()-t0:.0f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the matrix going
+            print(f"{name} {cfg}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
+    print("\nsummary:")
+    for name, cfg, ms, fps in results:
+        print(f"  {name} qkv={cfg['qkv']:8s} attn={cfg['attn']:9s} "
+              f"ff={cfg['ff']:5s} {ms:7.2f} ms/step  {fps:.4f} f/s")
+
+
+if __name__ == "__main__":
+    main()

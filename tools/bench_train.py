@@ -6,7 +6,10 @@ production memory policy: per-block gradient remat + bf16 frozen partition.
 Zero params materialized on device (timing is data-independent on the MXU)
 skip host init and the multi-GB tunnel transfer.
 
-Usage: python tools/bench_train.py [batch]
+Usage: python tools/bench_train.py [batch] [remat_policy]
+  remat_policy: full (default) | attn (keep attention outputs resident,
+  recompute convs/norms/FF only) | dots (keep all matmul outputs) | none
+  (no remat — OOMs at bs3, fits smaller batches)
 """
 from __future__ import annotations
 
@@ -34,11 +37,15 @@ def main():
     from magicdrive_tpu.train.state import create_train_state, TrainConfig
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    policy = sys.argv[2] if len(sys.argv) > 2 else "full"
 
     preset = sd15mv_rawbox_224x400()
     preset = dataclasses.replace(
         preset,
-        unet=dataclasses.replace(preset.unet, gradient_checkpointing=True))
+        unet=dataclasses.replace(
+            preset.unet, gradient_checkpointing=policy != "none",
+            remat_policy=None if policy in ("full", "none") else policy))
+    print(f"batch={B} remat_policy={policy}", flush=True)
     modules = preset.modules(dtype=jnp.bfloat16)
     tcfg = TrainConfig()
 

@@ -29,6 +29,9 @@ def main(argv=None):
                    help="converted SD-v1.5 dir (for frozen vae/clip reuse)")
     p.add_argument("--out", required=True)
     p.add_argument("--image_size", type=int, nargs=2, default=(224, 400))
+    p.add_argument("--arch", choices=["auto", "small-test"], default="auto",
+                   help="'small-test' = narrow full-depth architecture for "
+                        "the converter self-test (tests/test_convert_cli.py)")
     p.add_argument("--allow-missing", action="store_true")
     args = p.parse_args(argv)
 
@@ -37,6 +40,7 @@ def main(argv=None):
 
     from magicdrive_tpu.config.presets import (
         init_params, sd15mv_rawbox_224x400, sd15mv_rawbox_272x736,
+        small_parity,
     )
     from magicdrive_tpu.convert.torch_weights import (
         convert_clip, convert_module, find_weights_file,
@@ -44,8 +48,12 @@ def main(argv=None):
     )
     from magicdrive_tpu.utils.serialization import load_params, save_params
 
-    preset = sd15mv_rawbox_224x400() if tuple(args.image_size) == (224, 400) \
-        else sd15mv_rawbox_272x736()
+    if args.arch == "small-test":
+        preset = small_parity()
+    elif tuple(args.image_size) == (224, 400):
+        preset = sd15mv_rawbox_224x400()
+    else:
+        preset = sd15mv_rawbox_272x736()
     modules = preset.modules(dtype=jnp.float32)
     params = init_params(preset, modules, jax.random.PRNGKey(0))
     strict = not args.allow_missing

@@ -1,0 +1,88 @@
+"""Per-op device profile of the full denoise step (VERDICT r2 item 3).
+
+Captures a jax.profiler device trace of several bench_matrix one_step calls
+through the tunnel and prints the top HLO ops by self time (xprof's
+framework_op_stats over the captured xplane). This is the round-3 look at
+where the ~260 ms step actually goes, now that the kernel knobs are proven
+to move it <1%.
+
+Usage: python tools/profile_step.py [trace_dir]
+(imports tools/bench_matrix.py, which builds zeros params on device)
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.path.isdir("/root/.axon_site"):
+    sys.path.append("/root/.axon_site")
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/magicdrive_prof"
+    import importlib.util
+
+    import jax
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_matrix", os.path.join(os.path.dirname(__file__),
+                                     "bench_matrix.py"))
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+
+    f = jax.jit(lambda *a: bm.one_step(*a))
+    args = (bm.params, bm.x0, bm.state0, bm.inv, 5)
+    out = f(*args)
+    bm.fetch(out)
+    print("warm; tracing 3 calls ...", flush=True)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            out = f(*args)
+        bm.fetch(out)
+
+    # locate the xplane file
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    assert paths, f"no xplane under {trace_dir}"
+    xplane = paths[-1]
+    print(f"trace: {xplane}", flush=True)
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    obj = json.loads(data)
+    with open("/tmp/op_stats.json", "w") as fh:
+        json.dump(obj, fh)
+    # gviz table format: {.., 'cols': [...], 'rows': [...]}
+    try:
+        tables = obj if isinstance(obj, list) else [obj]
+        tbl = tables[0]
+        cols = [c.get("label") or c.get("id") for c in tbl["cols"]]
+        print("columns:", cols)
+        rows = []
+        for r in tbl["rows"]:
+            rows.append([c.get("v") for c in r["c"]])
+        # find self-time column
+        cand = [i for i, c in enumerate(cols)
+                if c and "self" in c.lower() and "time" in c.lower()]
+        key = cand[0] if cand else 2
+        rows.sort(key=lambda r: -(r[key] or 0))
+        name_i = next((i for i, c in enumerate(cols)
+                       if c and ("operation" in c.lower()
+                                 or "name" in c.lower())), 1)
+        type_i = next((i for i, c in enumerate(cols)
+                       if c and "type" in c.lower()), 0)
+        print(f"\ntop 40 by {cols[key]}:")
+        for r in rows[:40]:
+            print(f"  {str(r[type_i])[:28]:28s} {str(r[name_i])[:64]:64s} "
+                  f"{r[key]}")
+    except Exception as e:  # noqa: BLE001
+        print(f"table parse failed ({e}); raw JSON at /tmp/op_stats.json")
+
+
+if __name__ == "__main__":
+    main()
