@@ -47,12 +47,13 @@ _LANE = 128
 
 # Attention implementation on the pallas route: "fused" = the projection-
 # fused megakernel (kernels/fused_attention.py — q/k/v never exist in HBM);
-# "projected" = lane-padded projections + the flash kernel. Default stays
-# "projected" until the fused kernel is verified+measured on the attached
-# chip (pending: device tunnel outage during round 2).
+# "projected" = lane-padded projections + the flash kernel. Default "fused":
+# measured on chip (tools/bench_matrix.py, round 3) the fused kernels take
+# the full denoise step 261.5 -> 251.5 ms together with the fused GEGLU
+# (PERFORMANCE.md round 3).
 import os as _os
 
-_ATTN_IMPL = _os.environ.get("MAGICDRIVE_ATTN_IMPL", "projected")
+_ATTN_IMPL = _os.environ.get("MAGICDRIVE_ATTN_IMPL", "fused")
 
 # QKV projection fusion knob: "fused" (default) projects self-attention
 # q/k/v in one concatenated matmul (one MXU launch); "separate" restores

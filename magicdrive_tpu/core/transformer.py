@@ -44,9 +44,10 @@ class GatedConnector(nn.Module):
 
 
 # Default FF stage-1 implementation. "fused" = pallas kernel (geglu.py);
-# "xla" = plain matmul+split+gelu. Flips to "fused" once verified+measured
-# on the attached chip (pending: device tunnel outage during round 2).
-_FF_DEFAULT = "xla"
+# "xla" = plain matmul+split+gelu. Default "fused": measured on chip
+# (tools/bench_matrix.py, round 3) it takes the denoise step 261.5 -> 257.2
+# ms alone and 251.5 ms combined with the fused attention.
+_FF_DEFAULT = "fused"
 
 
 class _GEGLUProj(nn.Module):
