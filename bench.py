@@ -143,10 +143,14 @@ def main() -> None:
             "batch": B,
             "attn_backend": get_attention_backend(),
             "attn_impl": _attn._ATTN_IMPL,
+            "fused_mode": _attn._FUSED_MODE,
+            "pallas_min_logits": _attn._AUTO_PALLAS_MIN_LOGITS,
+            "cv_pair": _attn._CV_PAIR,
             "qkv_proj": _attn._QKV_PROJ,
             "ff_impl": os.environ.get("MAGICDRIVE_FF_IMPL", _tfm._FF_DEFAULT),
             "gn_impl": _resnet.GN_IMPL,
             "norm_apply": _resnet.NORM_APPLY,
+            "upsample": _resnet.UPSAMPLE_IMPL,
         },
     }))
 

@@ -31,6 +31,7 @@ Checkpoint shapes are unchanged.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional
 
 import jax
@@ -40,8 +41,14 @@ import flax.linen as nn
 _BACKEND = "auto"  # module-level default; set_attention_backend() overrides.
 
 # pallas pays off once the materialized-logits traffic the xla path would
-# incur outweighs the flash kernel's launch overhead
-_AUTO_PALLAS_MIN_LOGITS = 512 * 512
+# incur outweighs the flash kernel's launch overhead. Default 90k: routing
+# the level-1 (L=350, logits 122.5k) self/cross-view attentions to the
+# fused kernel measured −7.6 ms on the denoise step (the XLA path's
+# sub/select_n/split/reshape tail lived in exactly those blocks —
+# PERFORMANCE.md round 3b); the level-2 (L=98) and text-cross shapes stay
+# XLA. 512*512 was the round-1/2 value.
+_AUTO_PALLAS_MIN_LOGITS = int(
+    _os.environ.get("MAGICDRIVE_PALLAS_MIN_LOGITS", 90_000))
 
 _LANE = 128
 
@@ -51,9 +58,20 @@ _LANE = 128
 # measured on chip (tools/bench_matrix.py, round 3) the fused kernels take
 # the full denoise step 261.5 -> 251.5 ms together with the fused GEGLU
 # (PERFORMANCE.md round 3).
-import os as _os
-
 _ATTN_IMPL = _os.environ.get("MAGICDRIVE_ATTN_IMPL", "fused")
+
+# Fused-kernel mode: "kvstat" (default) uses the kv-stationary kernel
+# wherever it fits — measured −27.9 ms on the denoise step vs the
+# out-fused kernel at the flagship nq=2 shapes (the out-fused kernel's
+# per-q-block k/v recompute costs ~3.7x its FLOP model on chip;
+# PERFORMANCE.md round 3b). "auto" restores fused_is_efficient routing
+# (out-fusion at nq<=2, kvstat beyond).
+_FUSED_MODE = _os.environ.get("MAGICDRIVE_FUSED_MODE", "kvstat")
+
+# Cross-view neighbor-pair kernel: "pair" runs both add-mode neighbor
+# attentions in one launch (shared q projection / weights / accumulator);
+# "split" keeps one kernel per neighbor.
+_CV_PAIR = _os.environ.get("MAGICDRIVE_CV_PAIR", "split")
 
 # QKV projection fusion knob: "fused" (default) projects self-attention
 # q/k/v in one concatenated matmul (one MXU launch); "separate" restores
@@ -92,21 +110,29 @@ def _pallas_route(Lq: int, Lk: int, d: int, has_bias: bool) -> bool:
             and not has_bias and on_tpu_by_default())
 
 
-def _fused_mode(x, context, dim_head: int) -> Optional[str]:
+def fused_mode_for(Lq: int, Lk: int, C: int, dim_head: int,
+                   esize: int) -> Optional[str]:
     """Which projection-fused kernel serves this shape: "out" (recomputing
     kernel with the out-projection fused, nq <= 2), "kvstat" (VMEM-resident
-    k/v for larger nq), or None (projected path)."""
+    k/v for larger nq), or None (projected path). ``_FUSED_MODE=kvstat``
+    forces the kv-stationary kernel wherever it fits."""
     from magicdrive_tpu.kernels.fused_attention import (fused_is_efficient,
                                                         kvstat_is_efficient)
 
-    args = (x.shape[-2], context.shape[-2],
-            max(x.shape[-1], context.shape[-1]), dim_head,
-            2 if x.dtype == jnp.bfloat16 else 4)
+    args = (Lq, Lk, C, dim_head, esize)
+    if _FUSED_MODE == "kvstat" and kvstat_is_efficient(*args):
+        return "kvstat"
     if fused_is_efficient(*args):
         return "out"
     if kvstat_is_efficient(*args):
         return "kvstat"
     return None
+
+
+def _fused_mode(x, context, dim_head: int) -> Optional[str]:
+    return fused_mode_for(x.shape[-2], context.shape[-2],
+                          max(x.shape[-1], context.shape[-1]), dim_head,
+                          2 if x.dtype == jnp.bfloat16 else 4)
 
 
 def head_pad_for(Lq: int, Lk: int, dim_head: int,

@@ -34,6 +34,18 @@ NORM_APPLY = os.environ.get("MAGICDRIVE_NORM_APPLY", "fp32")
 # ablations can isolate the total norm cost. Never set in real models.
 NORM_IDENTITY = False
 
+# 2x nearest-upsample + 3x3 conv implementation knob: "repeat" materializes
+# the 4x-upsampled tensor and convolves it (torch/diffusers graph shape);
+# "subpixel" folds the upsample INTO the conv — each output parity (di, dj)
+# sees at most 2 distinct source rows/cols, so the 3x3-over-upsampled conv
+# decomposes exactly into four 2x2 convs on the UN-upsampled input whose
+# kernels are parity-wise sums of the 3x3 taps (16 vs 36 MACs per output
+# quad = 2.25x fewer FLOPs, and the 4x intermediate never exists). Weight
+# folding is done in fp32; bf16 output differs from "repeat" only by
+# rounding of w1*x + w2*x vs (w1+w2)*x. Default "subpixel": measured VAE
+# decode 120.7 -> 112.6 ms and denoise step -2.8 ms (PERFORMANCE.md r3b).
+UPSAMPLE_IMPL = os.environ.get("MAGICDRIVE_UPSAMPLE_IMPL", "subpixel")
+
 
 class GroupNorm(nn.Module):
     """GroupNorm computed in fp32, output cast back to compute dtype.
@@ -129,6 +141,66 @@ class Downsample2D(nn.Module):
                     name="conv")(x)
 
 
+class Conv2DParams(nn.Module):
+    """nn.Conv's exact param layout (kernel (kh, kw, in, out) + bias at this
+    scope), with the raw fp32 weights readable by the caller so the 2x
+    upsample can fold them (``UPSAMPLE_IMPL=subpixel``)."""
+
+    in_features: int
+    features: int
+    kernel_size: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        k = self.kernel_size
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+
+    def __call__(self, x, padding=((1, 1), (1, 1))):
+        y = jax.lax.conv_general_dilated(
+            x, self.kernel.astype(self.dtype), (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + self.bias.astype(self.dtype)
+
+
+def _fold_rows(k, parity):
+    # 3 taps -> 2 taps per output parity: floor((2i+di+ki-1)/2) hits source
+    # row i-1 (ki=0) / i (ki=1,2) for di=0 and i (ki=0,1) / i+1 (ki=2) for
+    # di=1 — summed in fp32 before the cast.
+    return (jnp.stack([k[0], k[1] + k[2]]) if parity == 0
+            else jnp.stack([k[0] + k[1], k[2]]))
+
+
+def upsample2x_conv(x, kernel, bias, dtype):
+    """2x nearest upsample followed by a 3x3 'SAME' conv, computed as four
+    parity 2x2 convs on the un-upsampled input (module knob docstring).
+
+    x: (B, H, W, Cin); kernel: (3, 3, Cin, Cout) fp32; bias: (Cout,) fp32.
+    Returns (B, 2H, 2W, Cout) in ``dtype``. Exact up to the fp32-fold
+    rounding: each output quad's taps are identical to the repeat path's.
+    """
+    b, h, w, _ = x.shape
+    outs = []
+    for di in (0, 1):
+        ka = _fold_rows(kernel, di)                       # (2, 3, ci, co)
+        pad_h = (1, 0) if di == 0 else (0, 1)
+        for dj in (0, 1):
+            kb = _fold_rows(jnp.moveaxis(ka, 1, 0), dj)   # (2, 2, ci, co)
+            kb = jnp.moveaxis(kb, 1, 0)
+            pad_w = (1, 0) if dj == 0 else (0, 1)
+            y = jax.lax.conv_general_dilated(
+                x, kb.astype(dtype), (1, 1), (pad_h, pad_w),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            outs.append(y)
+    y = jnp.stack(outs, axis=3)                           # (B, H, W, 4, Co)
+    y = y.reshape(b, h, w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b, 2 * h, 2 * w, -1)
+    return y + bias.astype(dtype)
+
+
 def nearest_resize(x, out_hw):
     """torch F.interpolate(mode='nearest') semantics: idx = floor(i*in/out)."""
     b, h, w, c = x.shape
@@ -152,8 +224,10 @@ class Upsample2D(nn.Module):
     def __call__(self, x, out_hw=None):
         b, h, w, c = x.shape
         out_hw = out_hw or (2 * h, 2 * w)
-        x = nearest_resize(x, out_hw)
-        return conv(self.out_channels, dtype=self.dtype, name="conv")(x)
+        cp = Conv2DParams(c, self.out_channels, dtype=self.dtype, name="conv")
+        if UPSAMPLE_IMPL == "subpixel" and out_hw == (2 * h, 2 * w):
+            return upsample2x_conv(x, cp.kernel, cp.bias, self.dtype)
+        return cp(nearest_resize(x, out_hw))
 
 
 class DownEncoderBlock2D(nn.Module):

@@ -42,25 +42,35 @@ from .flash_attention import (_ceil_to, _flash_bwd, _flash_fwd,
                               _interpret_default, _pick_block, _VMEM_BUDGET)
 
 
-def _attend_one_head(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, scale):
-    xq = xq_ref[0]            # (bq, C)
+def _core_with_q(q, xkv_ref, wk_ref, wv_ref):
+    """Softmax attention of a pre-projected (bq, Dp) q against k/v projected
+    in-kernel from ``xkv_ref``. q must already carry the softmax scale."""
     xkv = xkv_ref[0]          # (Lk, C)
-    q = jax.lax.dot(xq, wq_ref[...],
-                    preferred_element_type=jnp.float32)   # (bq, Dp)
     k = jax.lax.dot(xkv, wk_ref[...],
                     preferred_element_type=jnp.float32)   # (Lk, Dp)
     v = jax.lax.dot(xkv, wv_ref[...],
                     preferred_element_type=jnp.float32)
-    q = (q * scale).astype(xq.dtype)
-    k = k.astype(xq.dtype)
-    v = v.astype(xq.dtype)
+    k = k.astype(q.dtype)
+    v = v.astype(q.dtype)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (bq, Lk)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=1, keepdims=True)
-    return jax.lax.dot(p.astype(xq.dtype), v,
+    return jax.lax.dot(p.astype(q.dtype), v,
                        preferred_element_type=jnp.float32) / l
+
+
+def _project_q(xq_ref, wq_ref, scale):
+    xq = xq_ref[0]            # (bq, C)
+    q = jax.lax.dot(xq, wq_ref[...],
+                    preferred_element_type=jnp.float32)   # (bq, Dp)
+    return (q * scale).astype(xq.dtype)
+
+
+def _attend_one_head(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, scale):
+    return _core_with_q(_project_q(xq_ref, wq_ref, scale),
+                        xkv_ref, wk_ref, wv_ref)
 
 
 def _fused_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref, *,
@@ -82,6 +92,32 @@ def _fused_kernel_out(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     o = _attend_one_head(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, scale)
+    acc_scr[:] += jax.lax.dot(o.astype(xq_ref.dtype), wo_ref[...],
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(h == nh - 1)
+    def _():
+        o_ref[0] = acc_scr[:].astype(out_dtype)
+
+
+def _fused_kernel_out2(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref, wv_ref,
+                       wo_ref, o_ref, acc_scr, *, scale: float, out_dtype):
+    """Paired-neighbor variant (cross-view "add" mode, 2 neighbors): BOTH
+    neighbor attentions of one q-block run in a single grid step sharing
+    one q projection, one xq load, one set of resident weights, and one
+    fp32 out-accumulator — the sum of the two out-projected branches is
+    what leaves VMEM. Separate softmaxes per neighbor (add-mode semantics,
+    ref:blocks.py:190-222), NOT a concat attention."""
+    h = pl.program_id(2)
+    nh = pl.num_programs(2)
+
+    @pl.when(h == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = _project_q(xq_ref, wq_ref, scale)
+    o = (_core_with_q(q, xkv1_ref, wk_ref, wv_ref)
+         + _core_with_q(q, xkv2_ref, wk_ref, wv_ref))
     acc_scr[:] += jax.lax.dot(o.astype(xq_ref.dtype), wo_ref[...],
                               preferred_element_type=jnp.float32)
 
@@ -132,11 +168,13 @@ def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
     o_ref[0] = o.astype(out_dtype)
 
 
-def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
+def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int,
+             n_kv: int = 1) -> int:
     """Largest q block whose working set fits VMEM: fp32 (bq, Lk) logits
-    tile + x_q block + full x_kv + k/v/q fp32 intermediates."""
+    tile + x_q block + full x_kv (``n_kv`` of them for the paired-neighbor
+    kernel) + k/v/q fp32 intermediates."""
     lk_pad = _ceil_to(Lk, 128)
-    fixed = (Lk * C * esize            # x_kv
+    fixed = (n_kv * Lk * C * esize     # x_kv
              + 2 * (lk_pad * d_pad * 4)  # k, v fp32
              + 3 * C * d_pad * esize)    # weights
     for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):
@@ -152,15 +190,16 @@ def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int) -> int:
 
 
 def _auto_bq_kvstat(Lq: int, Lk: int, C: int, d_pad: int,
-                    esize: int) -> Optional[int]:
+                    esize: int, n_kv: int = 1) -> Optional[int]:
     """Largest q block fitting VMEM for the kv-stationary kernel: the fixed
     set adds the resident k/v scratch (input dtype); the i==0 projection's
-    fp32 temporaries are only _KV_CHUNK rows (chunked unroll). None if even
-    bq=128 does not fit."""
+    fp32 temporaries are only _KV_CHUNK rows (chunked unroll). ``n_kv=2``
+    sizes the paired-neighbor variant (two x_kv + two k/v scratch sets).
+    None if even bq=128 does not fit."""
     lk_pad = _ceil_to(Lk, 16)
     ck = min(lk_pad, _KV_CHUNK)
-    fixed = (Lk * C * esize               # x_kv
-             + 2 * (lk_pad * d_pad * esize)  # k/v scratch, resident
+    fixed = (n_kv * Lk * C * esize        # x_kv
+             + n_kv * 2 * (lk_pad * d_pad * esize)  # k/v scratch, resident
              + 2 * (ck * d_pad * 4)       # chunked k/v fp32 projection temp
              + 3 * C * d_pad * esize)     # weights
     for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):
@@ -175,6 +214,51 @@ def _auto_bq_kvstat(Lq: int, Lk: int, C: int, d_pad: int,
     return None
 
 
+def kvstat_pair_fits(Lq: int, Lk: int, C: int, dim_head: int,
+                     esize: int = 2) -> bool:
+    d_pad = _ceil_to(max(dim_head, 128), 128)
+    return _auto_bq_kvstat(Lq, Lk, C, d_pad, esize, n_kv=2) is not None
+
+
+def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
+                              wv_ref, o_ref, k1_scr, v1_scr, k2_scr, v2_scr,
+                              *, scale: float, out_dtype):
+    """Paired-neighbor kv-stationary kernel: both neighbors' k/v projected
+    once per (batch, head) into scratch, each q block projected once and
+    attended against both, the SUM of the two per-head outputs written —
+    one launch, half the padded-output traffic of two kvstat calls."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        for xkv_ref, k_scr, v_scr in ((xkv1_ref, k1_scr, v1_scr),
+                                      (xkv2_ref, k2_scr, v2_scr)):
+            Lk = xkv_ref.shape[1]
+            for start in range(0, Lk, _KV_CHUNK):
+                size = min(_KV_CHUNK, Lk - start)
+                xkv = xkv_ref[0, pl.dslice(start, size)]
+                k = jax.lax.dot(xkv, wk_ref[...],
+                                preferred_element_type=jnp.float32)
+                v = jax.lax.dot(xkv, wv_ref[...],
+                                preferred_element_type=jnp.float32)
+                k_scr[pl.dslice(start, size), :] = k.astype(k_scr.dtype)
+                v_scr[pl.dslice(start, size), :] = v.astype(v_scr.dtype)
+
+    q = _project_q(xq_ref, wq_ref, scale)
+
+    def attend(k_scr, v_scr):
+        s = jax.lax.dot_general(q, k_scr[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        return jax.lax.dot(p.astype(q.dtype), v_scr[...],
+                           preferred_element_type=jnp.float32) / l
+
+    o = attend(k1_scr, v1_scr) + attend(k2_scr, v2_scr)
+    o_ref[0] = o.astype(out_dtype)
+
+
 def kvstat_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
                         esize: int = 2) -> bool:
     """Whether the kv-stationary fused kernel applies: k/v are projected
@@ -182,6 +266,108 @@ def kvstat_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
     the full k/v (plus a q block's working set) fit VMEM."""
     d_pad = _ceil_to(max(dim_head, 128), 128)
     return _auto_bq_kvstat(Lq, Lk, C, d_pad, esize) is not None
+
+
+def pair_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
+                      esize: int = 2) -> bool:
+    """Whether the paired-neighbor kernel keeps the nq <= 2 economics with
+    both neighbors' x_kv resident."""
+    d_pad = _ceil_to(max(dim_head, 128), 128)
+    bq = _auto_bq(Lq, Lk, C, d_pad, esize, n_kv=2)
+    return pl.cdiv(Lq, bq) <= 2
+
+
+def _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
+                   interpret):
+    B, Lq, C = x_q.shape
+    Lk, Ck = x_kv1.shape[1], x_kv1.shape[2]
+    bq = _auto_bq(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize, n_kv=2)
+    nq = pl.cdiv(Lq, bq)
+    C_out = wout.shape[1]
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = functools.partial(_fused_kernel_out2, scale=scale,
+                               out_dtype=x_q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nq, heads),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, i, h: (b, i, 0)),
+            pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
+            pl.BlockSpec((C, d_pad), lambda b, i, h: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
+            pl.BlockSpec((d_pad, C_out), lambda b, i, h: (h, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C_out), lambda b, i, h: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, C_out), x_q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, C_out), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * (Lq * C + 4 * nq * Lk * Ck) * d_pad
+            + 8 * B * heads * Lq * Lk * d_pad,
+            bytes_accessed=2 * B * (2 * nq * Lk * Ck + Lq * C + Lq * C_out),
+            transcendentals=2 * B * heads * Lq * Lk,
+        ),
+    )(x_q, x_kv1, x_kv2, wq, wk, wv, wout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _pair_core_out(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
+                   interpret):
+    return _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads,
+                          d_pad, interpret)
+
+
+def _pair_out_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
+                  interpret):
+    y = _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads,
+                       d_pad, interpret)
+    return y, (x_q, x_kv1, x_kv2, wq, wk, wv, wout)
+
+
+def _pair_out_bwd(scale, heads, d_pad, interpret, res, dy):
+    # two independent out-fused branches sharing x_q and the weights — run
+    # the single-branch vjp per neighbor and sum the shared cotangents.
+    x_q, x_kv1, x_kv2, wq, wk, wv, wout = res
+
+    def branch(xq, xkv, a, b, c, w):
+        return _fused_core_out(xq, xkv, a, b, c, w, scale, heads, d_pad,
+                               interpret)
+
+    _, vjp1 = jax.vjp(branch, x_q, x_kv1, wq, wk, wv, wout)
+    _, vjp2 = jax.vjp(branch, x_q, x_kv2, wq, wk, wv, wout)
+    g1 = vjp1(dy)
+    g2 = vjp2(dy)
+    return (g1[0] + g2[0], g1[1], g2[1], g1[2] + g2[2], g1[3] + g2[3],
+            g1[4] + g2[4], g1[5] + g2[5])
+
+
+_pair_core_out.defvjp(_pair_out_fwd, _pair_out_bwd)
+
+
+def fused_qkv_out_attention_pair(
+    x_q: jnp.ndarray,
+    x_kv1: jnp.ndarray,
+    x_kv2: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wout: jnp.ndarray,
+    heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Sum of two out-fused attention branches sharing q (the cross-view
+    "add"-mode pair) in ONE kernel: separate softmaxes per neighbor, one q
+    projection, one out-accumulator. Out bias NOT applied (callers add
+    ``n_nb * bias``). Returns (B, Lq, C_out)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    d_pad = wq.shape[1] // heads
+    return _pair_core_out(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads,
+                          d_pad, interpret)
 
 
 def fused_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
@@ -369,6 +555,99 @@ def _fused_kvstat_fwd(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
 # fwd(+lse)/bwd pair — identical output layout, so the (B, nq, H) kernel's
 # backward serves the kv-stationary forward unchanged.
 _fused_kvstat_core.defvjp(_fused_kvstat_fwd, _fused_bwd)
+
+
+def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
+                          d_pad, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Lq, C = x_q.shape
+    Lk, Ck = x_kv1.shape[1], x_kv1.shape[2]
+    bq = _auto_bq_kvstat(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize,
+                         n_kv=2)
+    assert bq is not None, "caller must check kvstat_pair_fits"
+    nq = pl.cdiv(Lq, bq)
+
+    kernel = functools.partial(_fused_kvstat_pair_kernel, scale=scale,
+                               out_dtype=x_q.dtype)
+    scr = lambda: pltpu.VMEM((Lk, d_pad), x_q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, heads, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, h, i: (b, i, 0)),
+            pl.BlockSpec((1, Lk, Ck), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, Ck), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((C, d_pad), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
+        scratch_shapes=[scr(), scr(), scr(), scr()],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * heads * (Lq * C + 4 * Lk * Ck) * d_pad
+            + 8 * B * heads * Lq * Lk * d_pad,
+            bytes_accessed=2 * B * (2 * Lk * Ck + Lq * C
+                                    + Lq * heads * d_pad),
+            transcendentals=2 * B * heads * Lq * Lk,
+        ),
+    )(x_q, x_kv1, x_kv2, wq, wk, wv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
+                      interpret):
+    return _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale,
+                                 heads, d_pad, interpret)
+
+
+def _kvstat_pair_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
+                     interpret):
+    y = _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
+                              d_pad, interpret)
+    return y, (x_q, x_kv1, x_kv2, wq, wk, wv)
+
+
+def _kvstat_pair_bwd(scale, heads, d_pad, interpret, res, dy):
+    x_q, x_kv1, x_kv2, wq, wk, wv = res
+
+    def branch(xq, xkv, a, b, c):
+        return _fused_core(xq, xkv, a, b, c, scale, heads, d_pad, interpret)
+
+    _, vjp1 = jax.vjp(branch, x_q, x_kv1, wq, wk, wv)
+    _, vjp2 = jax.vjp(branch, x_q, x_kv2, wq, wk, wv)
+    g1 = vjp1(dy)
+    g2 = vjp2(dy)
+    return (g1[0] + g2[0], g1[1], g2[1], g1[2] + g2[2], g1[3] + g2[3],
+            g1[4] + g2[4])
+
+
+_kvstat_pair_core.defvjp(_kvstat_pair_fwd, _kvstat_pair_bwd)
+
+
+def fused_kvstat_attention_pair(
+    x_q: jnp.ndarray,
+    x_kv1: jnp.ndarray,
+    x_kv2: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    heads: int,
+    scale: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """SUM of two kv-stationary attention branches sharing q (cross-view
+    "add"-mode pair) in one kernel. Returns (B, Lq, H, Dp) in the padded-
+    head layout — callers out-project the sum once (``n_summed=2``)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    d_pad = wq.shape[1] // heads
+    B, Lq, _ = x_q.shape
+    out = _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
+                            d_pad, interpret)
+    return out.reshape(B, Lq, heads, d_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))

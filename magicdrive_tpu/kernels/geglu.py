@@ -183,3 +183,141 @@ def fused_geglu(
     bn = min(block_n, _ceil_to(N, 128))
     y = _geglu_core(x.reshape(M, K), wv, wg, bv, bg, bm, bn, interpret)
     return y.reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
+# Whole-FF fusion: stage-1 GEGLU + stage-2 projection in one kernel, so the
+# gated (M, N) intermediate never exists in HBM either (the stage-1-only
+# kernel above still writes it for the stage-2 XLA matmul to read back —
+# ~2x (M*N) bf16 of traffic per FF at the flagship level-0 shape).
+# ---------------------------------------------------------------------------
+
+from .flash_attention import _VMEM_BUDGET  # noqa: E402
+
+
+def _ff_kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, w2_ref, o_ref):
+    x = x_ref[...]
+    hv = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
+    hg = jax.lax.dot(x, wg_ref[...], preferred_element_type=jnp.float32)
+    if bv_ref is not None:
+        hv = hv + bv_ref[...].astype(jnp.float32)
+        hg = hg + bg_ref[...].astype(jnp.float32)
+    g = (hv * _gelu_exact_in_kernel(hg)).astype(x.dtype)
+    o_ref[...] = jax.lax.dot(
+        g, w2_ref[...], preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _ff_block_m(M: int, K: int, N: int, C: int, esize: int) -> Optional[int]:
+    """Largest M block whose working set fits VMEM with BOTH weight stages
+    resident; None if even bm=128 does not fit (deep-level FFs fall back to
+    the stage-1 kernel + XLA matmul)."""
+    fixed = (2 * K * N + N * C) * esize          # Wv, Wg, W2
+    for bm in (_ceil_to(M, 8), 1024, 768, 512, 384, 256, 128):
+        if bm > _ceil_to(M, 8):
+            continue
+        var = (bm * K * esize                    # x block
+               + 2 * bm * N * 4                  # hv, hg fp32
+               + bm * N * esize                  # gated product cast
+               + bm * C * 4)                     # output accumulator fp32
+        if fixed + var <= _VMEM_BUDGET:
+            return bm
+    return None
+
+
+def ff_full_fusion_fits(K: int, N: int, C: int, esize: int = 2) -> bool:
+    # probe at M=128: the large-M path's smallest block; smaller real M only
+    # shrinks the working set further
+    return _ff_block_m(128, K, N, C, esize) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _ff_core(x, wv, wg, bv, bg, w2, block_m, interpret):
+    return _ff_fwd_impl(x, wv, wg, bv, bg, w2, block_m, interpret)
+
+
+def _ff_fwd_impl(x, wv, wg, bv, bg, w2, block_m, interpret):
+    M, K = x.shape
+    N = wv.shape[1]
+    C = w2.shape[1]
+    has_bias = bv is not None
+
+    kernel = _ff_kernel if has_bias else (
+        lambda x_ref, wv_ref, wg_ref, w2_ref, o_ref:
+        _ff_kernel(x_ref, wv_ref, wg_ref, None, None, w2_ref, o_ref))
+
+    in_specs = [
+        pl.BlockSpec((block_m, K), lambda i: (i, 0)),
+        pl.BlockSpec((K, N), lambda i: (0, 0)),
+        pl.BlockSpec((K, N), lambda i: (0, 0)),
+    ]
+    args = [x, wv, wg]
+    if has_bias:
+        in_specs += [pl.BlockSpec((1, N), lambda i: (0, 0))] * 2
+        args += [bv.reshape(1, -1), bg.reshape(1, -1)]
+    in_specs.append(pl.BlockSpec((N, C), lambda i: (0, 0)))
+    args.append(w2)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(M, block_m),),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, C), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * K * N + 2 * M * N * C + 30 * M * N,
+            bytes_accessed=2 * (M * K + 2 * K * N + N * C + M * C),
+            transcendentals=0,
+        ),
+    )(*args)
+
+
+def _ff_fwd(x, wv, wg, bv, bg, w2, block_m, interpret):
+    y = _ff_fwd_impl(x, wv, wg, bv, bg, w2, block_m, interpret)
+    return y, (x, wv, wg, bv, bg, w2)
+
+
+def _ff_bwd(block_m, interpret, res, dy):
+    # Recompute with plain XLA matmuls (training remats the block anyway);
+    # stage-2 grads first, then reuse the stage-1 backward.
+    x, wv, wg, bv, bg, w2 = res
+    hv, hg = _ref_halves(x, wv, wg, bv, bg)
+    g = (hv * _gelu_exact(hg)).astype(x.dtype)
+    dy2 = dy.astype(x.dtype)
+    dw2 = g.T @ dy2
+    dg = dy2 @ w2.T
+    dx, dwv, dwg, dbv, dbg = _geglu_bwd(block_m, block_m, interpret,
+                                        (x, wv, wg, bv, bg), dg)
+    return dx, dwv, dwg, dbv, dbg, dw2.astype(w2.dtype)
+
+
+_ff_core.defvjp(_ff_fwd, _ff_bwd)
+
+
+def fused_ff(
+    x: jnp.ndarray,
+    kernel1: jnp.ndarray,
+    bias1: Optional[jnp.ndarray],
+    kernel2: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Whole FeedForward (minus the stage-2 bias, added by the caller):
+    ``geglu(x @ kernel1 + bias1) @ kernel2``.
+
+    x: (..., K); kernel1: (K, 2N) value-half first; kernel2: (N, C).
+    Caller must check :func:`ff_full_fusion_fits` for the shape.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    *lead, K = x.shape
+    N = kernel1.shape[1] // 2
+    C = kernel2.shape[1]
+    M = int(np.prod(lead)) if lead else 1
+    wv, wg = kernel1[:, :N], kernel1[:, N:]
+    bv = bg = None
+    if bias1 is not None:
+        bv, bg = bias1[:N], bias1[N:]
+    bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
+    assert bm is not None, "caller must check ff_full_fusion_fits"
+    y = _ff_core(x.reshape(M, K), wv, wg, bv, bg, kernel2, bm, interpret)
+    return y.reshape(*lead, C)

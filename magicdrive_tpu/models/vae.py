@@ -122,9 +122,16 @@ class Decoder(nn.Module):
                 x = VAEResnet(out_ch, cfg.norm_num_groups, dtype=self.dtype,
                               name=f"up_blocks_{i}_resnets_{j}")(x)
             if i != len(rev) - 1:
-                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = conv(out_ch, dtype=self.dtype,
-                         name=f"up_blocks_{i}_upsamplers_0_conv")(x)
+                from magicdrive_tpu.core.resnet import (Conv2DParams,
+                                                        UPSAMPLE_IMPL,
+                                                        upsample2x_conv)
+
+                cp = Conv2DParams(out_ch, out_ch, dtype=self.dtype,
+                                  name=f"up_blocks_{i}_upsamplers_0_conv")
+                if UPSAMPLE_IMPL == "subpixel":
+                    x = upsample2x_conv(x, cp.kernel, cp.bias, self.dtype)
+                else:
+                    x = cp(jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2))
         x = GroupNorm(cfg.norm_num_groups, 1e-6, dtype=self.dtype,
                       name="conv_norm_out")(x)
         x = nn.silu(x)

@@ -207,11 +207,70 @@ def test_fused_attention_impl_matches_projected():
 
     real_route = attn_mod._pallas_route
     real_impl = attn_mod._ATTN_IMPL
+    real_mode = attn_mod._FUSED_MODE
     try:
         attn_mod._pallas_route = lambda *a: True
         attn_mod._ATTN_IMPL = "fused"
         got = blk.apply(params, x, ctx)
+        # forced kv-stationary routing (MAGICDRIVE_FUSED_MODE=kvstat) must
+        # agree too — incl. the cross-view per-neighbor path
+        attn_mod._FUSED_MODE = "kvstat"
+        got_kv = blk.apply(params, x, ctx)
     finally:
         attn_mod._pallas_route = real_route
         attn_mod._ATTN_IMPL = real_impl
+        attn_mod._FUSED_MODE = real_mode
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_kv), np.asarray(ref), atol=3e-5)
+
+
+def test_subpixel_upsample_conv_matches_repeat():
+    """UPSAMPLE_IMPL=subpixel: the four folded 2x2 parity convs reproduce
+    nearest-2x-upsample + 3x3 'SAME' conv exactly (up to fp32 fold
+    rounding), for Upsample2D and the VAE decoder upsamplers."""
+    from magicdrive_tpu.core import resnet as rn
+    from magicdrive_tpu.core.resnet import Upsample2D
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 7, 13, 16)).astype(np.float32))
+    up = Upsample2D(24, dtype=jnp.float32)
+    params = up.init(jax.random.PRNGKey(0), x)
+    old = rn.UPSAMPLE_IMPL
+    try:
+        rn.UPSAMPLE_IMPL = "repeat"
+        want = up.apply(params, x)
+        rn.UPSAMPLE_IMPL = "subpixel"
+        got = up.apply(params, x)
+        # non-2x target sizes fall back to the repeat path
+        want_odd = up.apply(params, x, out_hw=(14, 25))
+        rn.UPSAMPLE_IMPL = "repeat"
+        ref_odd = up.apply(params, x, out_hw=(14, 25))
+    finally:
+        rn.UPSAMPLE_IMPL = old
+    assert got.shape == (2, 14, 26, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(want_odd), np.asarray(ref_odd),
+                               atol=0, rtol=0)
+
+
+def test_vae_decoder_subpixel_matches_repeat():
+    from magicdrive_tpu.core import resnet as rn
+    from magicdrive_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    cfg = VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4)
+    vae = AutoencoderKL(cfg, dtype=jnp.float32)
+    z = jnp.asarray(np.random.default_rng(4).normal(
+        size=(1, 4, 5, 4)).astype(np.float32))
+    params = vae.init(jax.random.PRNGKey(1), z, method=AutoencoderKL.decode)
+    old = rn.UPSAMPLE_IMPL
+    try:
+        rn.UPSAMPLE_IMPL = "repeat"
+        want = vae.apply(params, z, method=AutoencoderKL.decode)
+        rn.UPSAMPLE_IMPL = "subpixel"
+        got = vae.apply(params, z, method=AutoencoderKL.decode)
+    finally:
+        rn.UPSAMPLE_IMPL = old
+    assert got.shape == (1, 32, 40, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)

@@ -64,13 +64,39 @@ CONFIGS = {
     "C": dict(qkv="fused", attn="fused", ff="xla"),
     "D": dict(qkv="fused", attn="projected", ff="fused"),
     "E": dict(qkv="fused", attn="fused", ff="fused"),
+    # round-3 additions: whole-FF fusion (stage-2 in-kernel), the subpixel
+    # upsample-conv decomposition, kv-stationary mode at nq<=2, and the
+    # level-1 (L=350) attentions routed to the fused pallas kernel
+    "F": dict(qkv="fused", attn="fused", ff="fused2"),
+    "G": dict(qkv="fused", attn="fused", ff="fused", upsample="subpixel"),
+    "H": dict(qkv="fused", attn="fused", ff="fused2", upsample="subpixel"),
+    "K": dict(qkv="fused", attn="fused", ff="fused", mode="kvstat"),
+    "P": dict(qkv="fused", attn="fused", ff="fused", min_logits=90_000),
+    "V": dict(qkv="fused", attn="fused", ff="fused", cv_pair="pair"),
+    # compositions of the round-3 winners (K=224.5, P=244.8, G=249.6+vae
+    # 112.6, vs E=252.4)
+    "Q": dict(qkv="fused", attn="fused", ff="fused", mode="kvstat",
+              min_logits=90_000),
+    "Z": dict(qkv="fused", attn="fused", ff="fused", mode="kvstat",
+              min_logits=90_000, upsample="subpixel"),
+    "Z2": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel"),
+    # Z2 + paired-neighbor kvstat cross-view kernel
+    "Y": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+              min_logits=90_000, upsample="subpixel", cv_pair="pair"),
 }
 
 
 def set_knobs(cfg):
+    import magicdrive_tpu.core.resnet as resnet_mod
+
     attn_mod._QKV_PROJ = cfg["qkv"]
     attn_mod._ATTN_IMPL = cfg["attn"]
     os.environ["MAGICDRIVE_FF_IMPL"] = cfg["ff"]
+    resnet_mod.UPSAMPLE_IMPL = cfg.get("upsample", "repeat")
+    attn_mod._FUSED_MODE = cfg.get("mode", "auto")
+    attn_mod._AUTO_PALLAS_MIN_LOGITS = cfg.get("min_logits", 512 * 512)
+    attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
 
 
 def fetch(tree):
@@ -166,6 +192,27 @@ def main():
     lat_flat = jnp.zeros((B * N, h, w, 4), jnp.bfloat16)
     vae_ms = None
     results = []
+    if "cost" in order:
+        # XLA's own cost model for the compiled step executable — the
+        # roofline denominator (includes lane-padding waste and pallas
+        # CostEstimates, i.e. EXECUTED flops, not logical ones).
+        order.remove("cost")
+        for name in (order or ["E"])[:1]:
+            set_knobs(CONFIGS[name])
+            f = jax.jit(lambda *a: one_step(*a))
+            comp = f.lower(params, x0, state0, inv, 5).compile()
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = ca.get("flops", 0.0)
+            bytes_ = ca.get("bytes accessed", 0.0)
+            print(f"[{name}] step cost analysis: {flops/1e12:.2f} TFLOP, "
+                  f"{bytes_/1e9:.1f} GB accessed", flush=True)
+            cv = jax.jit(lambda *a: vae_decode(*a)).lower(
+                params, lat_flat).compile().cost_analysis()
+            cv = cv[0] if isinstance(cv, (list, tuple)) else cv
+            print(f"[vae] cost analysis: {cv.get('flops', 0)/1e12:.2f} TFLOP,"
+                  f" {cv.get('bytes accessed', 0)/1e9:.1f} GB", flush=True)
+        return
     if "vae" in order:  # VAE-decode norm-apply A/B (129 ms, 40% MFU suspect)
         order.remove("vae")
         import magicdrive_tpu.core.resnet as resnet_mod
@@ -187,10 +234,17 @@ def main():
             # the previous config's trace (the knobs are trace-time globals)
             f = jax.jit(lambda *a: one_step(*a))
             dt = timeit(f, (params, x0, state0, inv, 5))
-            if vae_ms is None:
-                vae_ms = timeit(jax.jit(vae_decode), (params, lat_flat)) * 1e3
-                print(f"vae decode ({B*N} imgs): {vae_ms:.1f} ms", flush=True)
-            fps = B / (20 * dt + vae_ms / 1e3)
+            if vae_ms is None or "upsample" in cfg:
+                cur_vae = timeit(jax.jit(lambda *a: vae_decode(*a)),
+                                 (params, lat_flat)) * 1e3
+                if "upsample" not in cfg:
+                    vae_ms = cur_vae
+                print(f"vae decode ({B*N} imgs, upsample="
+                      f"{cfg.get('upsample', 'repeat')}): {cur_vae:.1f} ms",
+                      flush=True)
+            else:
+                cur_vae = vae_ms
+            fps = B / (20 * dt + cur_vae / 1e3)
             results.append((name, cfg, dt * 1e3, fps))
             print(f"{name} {cfg}: step {dt*1e3:7.2f} ms  "
                   f"implied {fps:.4f} frames/s  "

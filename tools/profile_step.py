@@ -80,6 +80,27 @@ def main():
         for r in rows[:40]:
             print(f"  {str(r[type_i])[:28]:28s} {str(r[name_i])[:64]:64s} "
                   f"{r[key]}")
+
+        # per-type aggregation over ALL device rows (the top-40 cutoff
+        # hides the long tail of small ops)
+        from collections import defaultdict
+
+        hd_i = next((i for i, c in enumerate(cols)
+                     if c and "host/device" in c.lower()), None)
+        occ_i = next((i for i, c in enumerate(cols)
+                      if c and "occurrence" in c.lower()), None)
+        tot, cnt = defaultdict(float), defaultdict(int)
+        dev_total = 0.0
+        for r in rows:
+            if hd_i is not None and r[hd_i] != "Device":
+                continue
+            tot[r[type_i]] += r[key] or 0
+            cnt[r[type_i]] += (r[occ_i] or 0) if occ_i is not None else 0
+            dev_total += r[key] or 0
+        print(f"\ndevice total: {dev_total/3/1000:.1f} ms/call "
+              f"(3 traced calls)")
+        for t, v in sorted(tot.items(), key=lambda kv: -kv[1]):
+            print(f"  {t:32s} {v/3/1000:8.2f} ms/call  (x{cnt[t]})")
     except Exception as e:  # noqa: BLE001
         print(f"table parse failed ({e}); raw JSON at /tmp/op_stats.json")
 
