@@ -68,10 +68,12 @@ _ATTN_IMPL = _os.environ.get("MAGICDRIVE_ATTN_IMPL", "fused")
 # (out-fusion at nq<=2, kvstat beyond).
 _FUSED_MODE = _os.environ.get("MAGICDRIVE_FUSED_MODE", "kvstat")
 
-# Cross-view neighbor-pair kernel: "pair" runs both add-mode neighbor
-# attentions in one launch (shared q projection / weights / accumulator);
+# Cross-view neighbor-pair kernel: "pair" (default) runs both add-mode
+# neighbor attentions in one launch (shared q projection / weights, one
+# summed per-head output -> half the padded-output traffic): measured
+# 211.1 -> 200.9 ms on the denoise step (PERFORMANCE.md round 3b).
 # "split" keeps one kernel per neighbor.
-_CV_PAIR = _os.environ.get("MAGICDRIVE_CV_PAIR", "split")
+_CV_PAIR = _os.environ.get("MAGICDRIVE_CV_PAIR", "pair")
 
 # QKV projection fusion knob: "fused" (default) projects self-attention
 # q/k/v in one concatenated matmul (one MXU launch); "separate" restores

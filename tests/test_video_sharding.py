@@ -107,6 +107,44 @@ def test_frame_sharded_video_sampling_matches_unsharded():
     np.testing.assert_allclose(out, ref, atol=5e-4)
 
 
+def test_frame_and_view_sharded_train_step_matches_unsharded():
+    """3-axis mesh (dp, t, view): frames over t AND cameras over view.
+
+    This is the HBM-fit path for 60-frame training: the t=6 shard alone
+    still holds 10 frames x 6 views = 60 images per device (~3.3x the
+    single-chip bs=3 activation budget — tools/budget_video60.py
+    --device-proxy); t x view = 6 x 6 drops it to 10 images per device.
+    Here: dp=2 clips, t=2 (2 frames each), view=2 (3 cameras each) on the
+    8-device virtual mesh, loss equal to the unsharded step."""
+    preset, modules, params, batch = _setup()
+    tcfg = TrainConfig(lr_warmup_steps=1, frames_per_clip=F,
+                       drop_cond_ratio=0.0)
+    rng = jax.random.PRNGKey(1)
+
+    state = create_train_state(params, tcfg)
+    step = jax.jit(make_train_step(modules, tcfg))
+    _, ref = step(state, batch, rng)
+
+    mesh = make_mesh((2, 2, 2), axis_names=("dp", "t", "view"))
+    state_s = jax.device_put(create_train_state(params, tcfg),
+                             replicated(mesh))
+    batch_s = {}
+    for k, v in batch.items():
+        if k == "uncond_ids":
+            batch_s[k] = jax.device_put(v, replicated(mesh))
+        elif v.ndim >= 2 and v.shape[1] == 6:  # (B, N_cam, ...) tensors
+            batch_s[k] = jax.device_put(
+                v, NamedSharding(mesh, P(("dp", "t"), "view")))
+        else:
+            batch_s[k] = jax.device_put(
+                v, NamedSharding(mesh, P(("dp", "t"))))
+    step_s = jax.jit(make_train_step(modules, tcfg))
+    new_state, out = step_s(state_s, batch_s, rng)
+    np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
+                               rtol=1e-5)
+    assert int(new_state.step) == 1
+
+
 def test_60_frame_graph_shapes_validate():
     """The released 60-frame model's graph (ref:README.MD:33-36) shape-
     validates end-to-end at tiny spatial dims via eval_shape — no compile,
