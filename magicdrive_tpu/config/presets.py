@@ -194,7 +194,11 @@ def preset_from_config(cfg) -> ModelPreset:
         neighboring_attn_type=u["neighboring_attn_type"],
         neighbor_batched=bool(u.get("neighbor_batched", False)),
         zero_module_type=u["zero_module_type"],
-        gradient_checkpointing=bool(u.get("gradient_checkpointing", False)))
+        gradient_checkpointing=bool(u.get("gradient_checkpointing", False)),
+        # "dots" (keep matmul outputs within rematted blocks) measured
+        # fastest on chip: 1.86 vs 1.64 steps/s full-remat at bs=3
+        # (PERFORMANCE.md round 3b training)
+        remat_policy=u.get("remat_policy", "dots") or None)
     cn_c = mc["controlnet"]
     be = mc["bbox_embedder_param"]
     cn = BEVControlNetConfig(

@@ -36,6 +36,10 @@ parser.add_argument("--sample-only", action="store_true")
 parser.add_argument("--optimize", action="store_true",
                     help="full XLA optimization passes (slower compile)")
 parser.add_argument(
+    "--adam8bit", action="store_true",
+    help="use the block-wise 8-bit Adam state (train/adam8bit.py) in the "
+    "budget — saves ~6 bytes/trainable-param of optimizer HBM")
+parser.add_argument(
     "--device-proxy", action="store_true",
     help="compile the PER-DEVICE subproblem (frames/t frames, unsharded) "
     "on the attached real TPU, compile-only, and print ITS buffer "
@@ -138,7 +142,8 @@ def device_proxy():
         lambda: init_params(preset, modules, jax.random.PRNGKey(0)))
 
     if not args.sample_only:
-        tcfg = TrainConfig(lr_warmup_steps=1, frames_per_clip=FL)
+        tcfg = TrainConfig(lr_warmup_steps=1, frames_per_clip=FL,
+                           use_8bit_adam=args.adam8bit)
         state_shapes = jax.eval_shape(
             lambda p: create_train_state(p, tcfg, frozen_dtype=jnp.bfloat16),
             params_shapes)
@@ -224,7 +229,8 @@ def main():
         lambda: init_params(preset, modules, jax.random.PRNGKey(0)))
 
     if not args.sample_only:
-        tcfg = TrainConfig(lr_warmup_steps=1, frames_per_clip=F)
+        tcfg = TrainConfig(lr_warmup_steps=1, frames_per_clip=F,
+                           use_8bit_adam=args.adam8bit)
         # production memory policy: trainable fp32 + frozen bf16
         state_shapes = jax.eval_shape(
             lambda p: create_train_state(p, tcfg,

@@ -6,8 +6,10 @@ framework_op_stats over the captured xplane). This is the round-3 look at
 where the ~260 ms step actually goes, now that the kernel knobs are proven
 to move it <1%.
 
-Usage: python tools/profile_step.py [trace_dir]
-(imports tools/bench_matrix.py, which builds zeros params on device)
+Usage: python tools/profile_step.py [trace_dir] [--pipeline]
+(imports tools/bench_matrix.py, which builds zeros params on device;
+--pipeline traces ONE full MagicDrivePipeline call instead — the 20-step
+scan + VAE + conditioning — to expose cost outside the bare step)
 """
 import json
 import os
@@ -19,7 +21,9 @@ if os.path.isdir("/root/.axon_site"):
 
 
 def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/magicdrive_prof"
+    args_cli = [a for a in sys.argv[1:] if not a.startswith("--")]
+    pipeline_mode = "--pipeline" in sys.argv
+    trace_dir = args_cli[0] if args_cli else "/tmp/magicdrive_prof"
     import importlib.util
 
     import jax
@@ -30,15 +34,37 @@ def main():
     bm = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bm)
 
-    f = jax.jit(lambda *a: bm.one_step(*a))
-    args = (bm.params, bm.x0, bm.state0, bm.inv, 5)
-    out = f(*args)
-    bm.fetch(out)
-    print("warm; tracing 3 calls ...", flush=True)
-    with jax.profiler.trace(trace_dir):
-        for _ in range(3):
-            out = f(*args)
+    if pipeline_mode:
+        import jax.numpy as jnp
+
+        from magicdrive_tpu.data.collate import CollateConfig, collate_fn
+        from magicdrive_tpu.data.fixtures import make_dataset
+        from magicdrive_tpu.pipeline.pipeline import MagicDrivePipeline
+
+        pipe = MagicDrivePipeline(bm.modules, bm.params, bm.preset.pipeline)
+        ccfg = CollateConfig(bbox_max_len=bm.preset.bbox_max_len,
+                             canvas_hw=bm.preset.image_size, is_train=False)
+        batch = {k: jnp.asarray(v) for k, v in
+                 collate_fn(make_dataset(bm.B), ccfg).items()}
+        batch.pop("pixel_values", None)
+        key = jax.random.PRNGKey(0)
+        f = lambda: pipe(batch, key=key)
+        out = f()
         bm.fetch(out)
+        print("warm; tracing 1 pipeline call ...", flush=True)
+        with jax.profiler.trace(trace_dir):
+            out = f()
+            bm.fetch(out)
+    else:
+        f = jax.jit(lambda *a: bm.one_step(*a))
+        args = (bm.params, bm.x0, bm.state0, bm.inv, 5)
+        out = f(*args)
+        bm.fetch(out)
+        print("warm; tracing 3 calls ...", flush=True)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = f(*args)
+            bm.fetch(out)
 
     # locate the xplane file
     import glob
@@ -89,6 +115,7 @@ def main():
                      if c and "host/device" in c.lower()), None)
         occ_i = next((i for i, c in enumerate(cols)
                       if c and "occurrence" in c.lower()), None)
+        n_calls = 1 if pipeline_mode else 3
         tot, cnt = defaultdict(float), defaultdict(int)
         dev_total = 0.0
         for r in rows:
@@ -97,10 +124,10 @@ def main():
             tot[r[type_i]] += r[key] or 0
             cnt[r[type_i]] += (r[occ_i] or 0) if occ_i is not None else 0
             dev_total += r[key] or 0
-        print(f"\ndevice total: {dev_total/3/1000:.1f} ms/call "
-              f"(3 traced calls)")
+        print(f"\ndevice total: {dev_total/n_calls/1000:.1f} ms/call "
+              f"({n_calls} traced call(s))")
         for t, v in sorted(tot.items(), key=lambda kv: -kv[1]):
-            print(f"  {t:32s} {v/3/1000:8.2f} ms/call  (x{cnt[t]})")
+            print(f"  {t:32s} {v/n_calls/1000:8.2f} ms/call  (x{cnt[t]})")
     except Exception as e:  # noqa: BLE001
         print(f"table parse failed ({e}); raw JSON at /tmp/op_stats.json")
 
