@@ -219,7 +219,7 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, dq_ref,
                    acc_scr, *, scale: float, kv_len: int, block_k: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -234,9 +234,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
     s = jnp.where(col < kv_len, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])                              # (bq, bk)
+    # delta = rowsum(do * o) computed in-kernel: a (BH, Lq, 1) fp32 HBM
+    # tensor would be tile-padded 128x (360 MB at train level-0 shapes)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)                  # (bq, 1)
     dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0]) * scale                     # (bq, bk)
+    ds = p * (dp - delta) * scale                            # (bq, bk)
     acc_scr[:] += jax.lax.dot(ds.astype(kk.dtype), kk,
                               preferred_element_type=jnp.float32)
 
@@ -245,7 +249,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, scale: float, kv_len: int, block_k: int):
     i = pl.program_id(2)   # q block index (reduction axis)
@@ -263,13 +267,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
     s = jnp.where(col < kv_len, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])                              # (bq, bk)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)                  # (bq, 1)
     # dV_j += P^T dO  — contract over the q axis
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (bq, bk)
-    ds = p * (dp - delta_ref[0]) * scale
+    ds = p * (dp - delta) * scale
     # dK_j += dS^T Q
     dk_scr[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -285,8 +291,6 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
                interpret):
     BH, Lq_in, D = q.shape
     Lk_in = k.shape[1]
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
-                    keepdims=True)  # (BH, Lq, 1)
 
     # The backward working set (two live fp32 logits tiles + four operand
     # blocks + fp32 scratch) is larger than the forward's; pick its own
@@ -305,7 +309,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
             return t
         return jnp.pad(t, ((0, 0), (0, L_target - t.shape[1]), (0, 0)))
 
-    q, do, lse, delta = (pad_rows(t, Lq) for t in (q, do, lse, delta))
+    q, do, lse, o = (pad_rows(t, Lq) for t in (q, do, lse, o))
     k, v = pad_rows(k, Lk), pad_rows(v, Lk)
     nq, nk = Lq // block_q, Lk // block_k
 
@@ -319,13 +323,13 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
             pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((BH, Lq, D), q.dtype),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, o)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
@@ -337,7 +341,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
             pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0)),
             pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0)),
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, D), lambda b, j, i: (b, j, 0)),
@@ -352,7 +356,7 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
             jax.ShapeDtypeStruct((BH, Lk, D), v.dtype),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, o)
     # slice re-padding back to the caller's (fwd-padded) lengths
     return dq[:, :Lq_in], dk[:, :Lk_in], dv[:, :Lk_in]
 
@@ -424,15 +428,17 @@ def _auto_blocks(Lq: int, Lk: int, d_pad: int, esize: int) -> Tuple[int, int]:
 def _auto_blocks_bwd(Lq: int, Lk: int, d_pad: int,
                      esize: int) -> Tuple[int, int]:
     """Backward blocks: the dq/dkv kernels hold two live (bq, bk) fp32
-    tiles (p and ds/dp), four operand blocks (q, k, v, dO) and fp32
-    scratch accumulators — a much larger working set than the forward, so
-    they get their own (smaller) choice. Caught on-chip: fwd-sized blocks
-    OOM scoped VMEM for the fp32 tiny-model train step."""
+    tiles (p and ds/dp), five operand blocks (q, k, v, dO, O — delta is
+    computed in-kernel from dO/O so the tile-padded (BH, Lq, 1) HBM tensor
+    never exists) and fp32 scratch accumulators — a much larger working
+    set than the forward, so they get their own (smaller) choice. Caught
+    on-chip: fwd-sized blocks OOM scoped VMEM for the fp32 tiny-model
+    train step."""
 
     def fits(bq, bk):
         tiles = 2 * bq * bk * 4
-        ops = (2 * bq + 2 * bk) * d_pad * esize * 2
-        scr = (2 * bk + bq) * d_pad * 4
+        ops = (3 * bq + 2 * bk) * d_pad * esize * 2
+        scr = (2 * bk + bq) * d_pad * 4 + bq * 4
         return tiles + ops + scr <= _VMEM_BUDGET
 
     return _search_blocks(Lq, Lk, fits)

@@ -329,19 +329,16 @@ def _pair_out_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
 
 def _pair_out_bwd(scale, heads, d_pad, interpret, res, dy):
     # two independent out-fused branches sharing x_q and the weights — run
-    # the single-branch vjp per neighbor and sum the shared cotangents.
+    # the single-branch vjp per neighbor and sum the shared cotangents
+    # (optionally serialized — see _pair_bwd_serial).
     x_q, x_kv1, x_kv2, wq, wk, wv, wout = res
 
     def branch(xq, xkv, a, b, c, w):
         return _fused_core_out(xq, xkv, a, b, c, w, scale, heads, d_pad,
                                interpret)
 
-    _, vjp1 = jax.vjp(branch, x_q, x_kv1, wq, wk, wv, wout)
-    _, vjp2 = jax.vjp(branch, x_q, x_kv2, wq, wk, wv, wout)
-    g1 = vjp1(dy)
-    g2 = vjp2(dy)
-    return (g1[0] + g2[0], g1[1], g2[1], g1[2] + g2[2], g1[3] + g2[3],
-            g1[4] + g2[4], g1[5] + g2[5])
+    return _sum_pair_grads(branch, (x_q, x_kv1, wq, wk, wv, wout),
+                           (x_q, x_kv2, wq, wk, wv, wout), dy)
 
 
 _pair_core_out.defvjp(_pair_out_fwd, _pair_out_bwd)
@@ -610,18 +607,42 @@ def _kvstat_pair_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
     return y, (x_q, x_kv1, x_kv2, wq, wk, wv)
 
 
+def _pair_bwd_serial() -> bool:
+    """Whether the pair backward serializes its second branch behind the
+    first via an optimization_barrier. Measured on chip (bs=3 224x400
+    'dots' training): serial 511 ms/step vs free 526 — but the barrier
+    pins its operands live across the remat boundary, so at the 60-frame
+    t-shard scale it EXPLODES memory (16.33 -> 23.09 GiB, an OOM).
+    Default off; flip via MAGICDRIVE_PAIR_BWD=serial for memory-
+    comfortable image training."""
+    import os
+
+    return os.environ.get("MAGICDRIVE_PAIR_BWD", "free") == "serial"
+
+
+def _sum_pair_grads(branch, args1, args2, dy):
+    _, vjp1 = jax.vjp(branch, *args1)
+    g1 = vjp1(dy)
+    if _pair_bwd_serial():
+        gate = jax.lax.optimization_barrier((g1[0], *args2))
+        g1 = (gate[0],) + tuple(g1[1:])
+        args2 = gate[1:]
+    _, vjp2 = jax.vjp(branch, *args2)
+    g2 = vjp2(dy)
+    # args layout: (x_q, x_kv, *weights) — x_q and weights are shared
+    # (cotangents sum); each branch owns its x_kv cotangent.
+    return (g1[0] + g2[0], g1[1], g2[1]) + tuple(
+        a + b for a, b in zip(g1[2:], g2[2:]))
+
+
 def _kvstat_pair_bwd(scale, heads, d_pad, interpret, res, dy):
     x_q, x_kv1, x_kv2, wq, wk, wv = res
 
     def branch(xq, xkv, a, b, c):
         return _fused_core(xq, xkv, a, b, c, scale, heads, d_pad, interpret)
 
-    _, vjp1 = jax.vjp(branch, x_q, x_kv1, wq, wk, wv)
-    _, vjp2 = jax.vjp(branch, x_q, x_kv2, wq, wk, wv)
-    g1 = vjp1(dy)
-    g2 = vjp2(dy)
-    return (g1[0] + g2[0], g1[1], g2[1], g1[2] + g2[2], g1[3] + g2[3],
-            g1[4] + g2[4])
+    return _sum_pair_grads(branch, (x_q, x_kv1, wq, wk, wv),
+                           (x_q, x_kv2, wq, wk, wv), dy)
 
 
 _kvstat_pair_core.defvjp(_kvstat_pair_fwd, _kvstat_pair_bwd)
