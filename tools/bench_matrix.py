@@ -84,6 +84,9 @@ CONFIGS = {
     # Z2 + paired-neighbor kvstat cross-view kernel
     "Y": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
               min_logits=90_000, upsample="subpixel", cv_pair="pair"),
+    # Y + level-2 (L=98) attentions also routed to pallas
+    "Y2": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=9_000, upsample="subpixel", cv_pair="pair"),
 }
 
 
