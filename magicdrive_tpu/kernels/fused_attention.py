@@ -32,6 +32,7 @@ anyway, so the recompute mirrors what the XLA path already does.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -128,6 +129,23 @@ def _fused_kernel_out2(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref, wv_ref,
 
 _KV_CHUNK = 512  # rows per k/v projection chunk (bounds the fp32 temp)
 
+# Sub-tile count for the kv-stationary kernels' q-block chain. The
+# monolithic chain serializes MXU (q-proj, qk, pv dots) against VPU
+# (softmax) per grid step; splitting the q rows into N independent
+# sub-chains lets Mosaic's scheduler overlap one sub-tile's softmax with
+# another's dots. Same math (softmax is per-row), bit-exact partition.
+_KV_SUBTILE = int(os.environ.get("MAGICDRIVE_KV_SUBTILE", "1"))
+
+
+def _sub_ranges(bq: int):
+    """(start, size) sub-row tiles of a q block: _KV_SUBTILE even pieces
+    when they divide cleanly into sublane-aligned rows, else one tile."""
+    t = _KV_SUBTILE
+    if t <= 1 or bq % t or (bq // t) % 8:
+        return [(0, bq)]
+    sb = bq // t
+    return [(j * sb, sb) for j in range(t)]
+
 
 def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
                          k_scr, v_scr, *, scale: float, out_dtype):
@@ -154,18 +172,19 @@ def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
             k_scr[pl.dslice(start, size), :] = k.astype(k_scr.dtype)
             v_scr[pl.dslice(start, size), :] = v.astype(v_scr.dtype)
 
-    xq = xq_ref[0]                # (bq, C)
-    q = jax.lax.dot(xq, wq_ref[...],
-                    preferred_element_type=jnp.float32)   # (bq, Dp)
-    q = (q * scale).astype(xq.dtype)
-    s = jax.lax.dot_general(q, k_scr[...], (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (bq, Lk)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    o = jax.lax.dot(p.astype(xq.dtype), v_scr[...],
-                    preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(out_dtype)
+    for start, size in _sub_ranges(xq_ref.shape[1]):
+        xq = xq_ref[0, pl.dslice(start, size)]            # (sb, C)
+        q = jax.lax.dot(xq, wq_ref[...],
+                        preferred_element_type=jnp.float32)   # (sb, Dp)
+        q = (q * scale).astype(xq.dtype)
+        s = jax.lax.dot_general(q, k_scr[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(xq.dtype), v_scr[...],
+                        preferred_element_type=jnp.float32) / l
+        o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
 def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int,
@@ -244,9 +263,7 @@ def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
                 k_scr[pl.dslice(start, size), :] = k.astype(k_scr.dtype)
                 v_scr[pl.dslice(start, size), :] = v.astype(v_scr.dtype)
 
-    q = _project_q(xq_ref, wq_ref, scale)
-
-    def attend(k_scr, v_scr):
+    def attend(q, k_scr, v_scr):
         s = jax.lax.dot_general(q, k_scr[...], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=1, keepdims=True)
@@ -255,8 +272,13 @@ def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
         return jax.lax.dot(p.astype(q.dtype), v_scr[...],
                            preferred_element_type=jnp.float32) / l
 
-    o = attend(k1_scr, v1_scr) + attend(k2_scr, v2_scr)
-    o_ref[0] = o.astype(out_dtype)
+    for start, size in _sub_ranges(xq_ref.shape[1]):
+        xq = xq_ref[0, pl.dslice(start, size)]
+        q = jax.lax.dot(xq, wq_ref[...],
+                        preferred_element_type=jnp.float32)
+        q = (q * scale).astype(xq.dtype)
+        o = attend(q, k1_scr, v1_scr) + attend(q, k2_scr, v2_scr)
+        o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
 def kvstat_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,

