@@ -130,10 +130,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     fps = B * iters / dt
-    from magicdrive_tpu.core.attention import get_attention_backend
-    from magicdrive_tpu.core import attention as _attn
-    from magicdrive_tpu.core import resnet as _resnet
-    from magicdrive_tpu.core import transformer as _tfm
+    from magicdrive_tpu.utils.knobs import perf_knob_snapshot
     print(json.dumps({
         "metric": "6-view 224x400 frames/sec/chip (CFG, 20-step sampler, "
                   "VAE decode; one jitted call)" if on_tpu else
@@ -142,20 +139,9 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_A800_FPS, 4),
         # effective perf-relevant config, so BENCH_rN deltas are attributable
-        "config": {
-            "platform": platform,
-            "batch": B,
-            "attn_backend": get_attention_backend(),
-            "attn_impl": _attn._ATTN_IMPL,
-            "fused_mode": _attn._FUSED_MODE,
-            "pallas_min_logits": _attn._AUTO_PALLAS_MIN_LOGITS,
-            "cv_pair": _attn._CV_PAIR,
-            "qkv_proj": _attn._QKV_PROJ,
-            "ff_impl": os.environ.get("MAGICDRIVE_FF_IMPL", _tfm._FF_DEFAULT),
-            "gn_impl": _resnet.GN_IMPL,
-            "norm_apply": _resnet.NORM_APPLY,
-            "upsample": _resnet.UPSAMPLE_IMPL,
-        },
+        # (same snapshot train/generate runs persist — utils/knobs.py)
+        "config": {"platform": platform, "batch": B,
+                   **perf_knob_snapshot()},
     }))
 
 

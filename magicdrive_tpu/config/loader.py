@@ -180,17 +180,31 @@ def compose(config_dir: str, name: str = "config",
 def save_run_config(cfg: Config, run_dir: str,
                     overrides: Optional[Sequence[str]] = None) -> None:
     """Persist the composed config + raw overrides for replay
-    (the reference's hydra output dir, ref:configs/config.yaml:11-14)."""
+    (the reference's hydra output dir, ref:configs/config.yaml:11-14),
+    plus the effective trace-time perf-knob snapshot — the MAGICDRIVE_*
+    env knobs change the compiled program without appearing in the YAML,
+    so a run is only self-reproducing if they are recorded too."""
+    from magicdrive_tpu.utils.knobs import perf_knob_snapshot
+
     os.makedirs(run_dir, exist_ok=True)
+    payload = dict(cfg)
+    payload["perf_knobs"] = perf_knob_snapshot()
     with open(os.path.join(run_dir, "run_config.yaml"), "w") as f:
-        yaml.safe_dump(dict(cfg), f, sort_keys=False)
+        yaml.safe_dump(payload, f, sort_keys=False)
     with open(os.path.join(run_dir, "overrides.yaml"), "w") as f:
         yaml.safe_dump(list(overrides or []), f)
 
 
 def load_run_config(run_dir: str) -> Config:
-    """Reload a run's exact composed config (ref:tools/test.py:46-56)."""
-    return Config(_load_yaml(os.path.join(run_dir, "run_config.yaml")))
+    """Reload a run's exact composed config (ref:tools/test.py:46-56).
+    Warns per perf knob whose currently-effective value differs from the
+    snapshot recorded at run time (exact replay needs the MAGICDRIVE_* env
+    to match)."""
+    from magicdrive_tpu.utils.knobs import warn_on_knob_mismatch
+
+    cfg = Config(_load_yaml(os.path.join(run_dir, "run_config.yaml")))
+    warn_on_knob_mismatch(cfg.get("perf_knobs") or {})
+    return cfg
 
 
 def load_run_overrides(run_dir: str) -> List[str]:

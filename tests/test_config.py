@@ -57,3 +57,30 @@ def test_run_config_replay(tmp_path):
     assert replayed.seed == 7
     assert replayed.runner.max_train_steps == 7
     assert load_run_overrides(str(tmp_path)) == overrides
+
+
+def test_run_config_persists_perf_knobs(tmp_path, caplog):
+    """The effective MAGICDRIVE_* knob snapshot is written into
+    run_config.yaml, and replay warns per knob that drifted (VERDICT r3
+    weak #5: runs must be reproducible from their own artifacts)."""
+    import logging
+
+    from magicdrive_tpu.core import attention as attn
+    from magicdrive_tpu.utils.knobs import perf_knob_snapshot
+
+    cfg = compose(CONFIG_DIR, overrides=["runner=debug"])
+    save_run_config(cfg, str(tmp_path))
+    replayed = load_run_config(str(tmp_path))
+    assert replayed["perf_knobs"] == perf_knob_snapshot()
+    assert "fused_mode" in replayed["perf_knobs"]
+    assert "kv_subtile" in replayed["perf_knobs"]
+
+    old = attn._FUSED_MODE
+    try:
+        attn._FUSED_MODE = "definitely-not-" + str(old)
+        with caplog.at_level(logging.WARNING,
+                             logger="magicdrive_tpu.utils.knobs"):
+            load_run_config(str(tmp_path))
+        assert any("fused_mode" in r.message for r in caplog.records)
+    finally:
+        attn._FUSED_MODE = old
