@@ -280,12 +280,12 @@ class BasicTransformerBlock(nn.Module):
                 fused_qkv_out_attention, fused_qkv_out_attention_pair,
                 kvstat_pair_fits, pair_is_efficient)
 
-            d = 128 if self.d_head % 128 else self.d_head
-            wq, wk, wv = attn4.qkv_weights(d)
-            wo = attn4.to_out.padded_kernel(d)
             esz = 2 if flat.dtype == jnp.bfloat16 else 4
             pair_ok = (self.neighboring_attn_type == "add" and n_nb == 2
                        and _attn_mod._CV_PAIR == "pair")
+            d = 128 if self.d_head % 128 else self.d_head
+            wq, wk, wv = attn4.qkv_weights(d)
+            wo = attn4.to_out.padded_kernel(d)
             use_pair = (pair_ok and fused_mode == "out"
                         and pair_is_efficient(L, L, flat.shape[-1],
                                               self.d_head, esz))
@@ -387,11 +387,16 @@ class BasicTransformerBlock(nn.Module):
             raise ValueError(self.neighboring_attn_type)
 
         out = tag_attn_out(rearrange(out, "b n l c -> (b n) l c"))
+        return self._connector(out)
+
+    def _connector(self, out):
+        """Zero-init connector applied to the cross-view output
+        (ref:blocks.py:139-151)."""
         if self.zero_module_type == "zero_linear":
-            out = zeros_dense(self.dim, self.dtype, "connector")(out)
-        elif self.zero_module_type == "gated":
-            out = GatedConnector(self.dim, self.dtype, name="connector")(out)
-        elif self.zero_module_type != "none":
+            return zeros_dense(self.dim, self.dtype, "connector")(out)
+        if self.zero_module_type == "gated":
+            return GatedConnector(self.dim, self.dtype, name="connector")(out)
+        if self.zero_module_type != "none":
             raise ValueError(self.zero_module_type)
         return out
 

@@ -134,7 +134,16 @@ _KV_CHUNK = 512  # rows per k/v projection chunk (bounds the fp32 temp)
 # (softmax) per grid step; splitting the q rows into N independent
 # sub-chains lets Mosaic's scheduler overlap one sub-tile's softmax with
 # another's dots. Same math (softmax is per-row), bit-exact partition.
-_KV_SUBTILE = int(os.environ.get("MAGICDRIVE_KV_SUBTILE", "1"))
+# Captured from the environment ONCE at import (a trace-time global, like
+# the other MAGICDRIVE_* knobs) — tests/benches patch the module attribute.
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+_KV_SUBTILE = _env_int("MAGICDRIVE_KV_SUBTILE", 1)
 
 
 def _sub_ranges(bq: int):

@@ -507,8 +507,11 @@ def test_kvstat_subtile_partition_exact():
                                        atol=5e-7)
             np.testing.assert_allclose(np.asarray(got_pair),
                                        np.asarray(want_pair), atol=5e-7)
-        # non-dividing / sublane-misaligned counts fall back to one tile
-        assert fa._sub_ranges(48) != [(0, 48)] or True
+        # sublane-misaligned counts fall back to one tile: with subtile=4,
+        # 48/4=12 rows is not a multiple of 8
+        fa._KV_SUBTILE = 4
+        assert fa._sub_ranges(48) == [(0, 48)]
+        # non-dividing subtile counts fall back to one tile
         fa._KV_SUBTILE = 7
         assert fa._sub_ranges(64) == [(0, 64)]
     finally:

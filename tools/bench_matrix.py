@@ -47,12 +47,21 @@ from magicdrive_tpu.diffusion.samplers import make_sampler_coeffs
 from magicdrive_tpu.core import attention as attn_mod
 import magicdrive_tpu.core.resnet  # noqa: F401  (knob modules importable)
 
-# MAGICDRIVE_BENCH_PRESET=272x736 measures the hi-res model (kvstat kernel
-# territory: L=3128 level-0); default is the flagship 224x400.
-_HIRES = os.environ.get("MAGICDRIVE_BENCH_PRESET") == "272x736"
+# MAGICDRIVE_BENCH_PRESET=272x736|424x800 measures the hi-res / released
+# visualization models (kvstat kernel territory: L=3128 / L=5300 level-0);
+# default is the flagship 224x400.
+_PRESET_NAME = os.environ.get("MAGICDRIVE_BENCH_PRESET", "224x400")
+_HIRES = _PRESET_NAME != "224x400"
 B = int(os.environ.get("MAGICDRIVE_BENCH_BATCH", "1" if _HIRES else "4"))
 N = 6
-preset = sd15mv_rawbox_272x736() if _HIRES else sd15mv_rawbox_224x400()
+if _PRESET_NAME == "424x800":
+    from magicdrive_tpu.config.presets import sd15mv_rawbox_424x800
+
+    preset = sd15mv_rawbox_424x800()
+elif _PRESET_NAME == "272x736":
+    preset = sd15mv_rawbox_272x736()
+else:
+    preset = sd15mv_rawbox_224x400()
 modules = preset.modules(dtype=jnp.bfloat16)
 m = modules
 pcfg = preset.pipeline
@@ -87,11 +96,25 @@ CONFIGS = {
     # Y + level-2 (L=98) attentions also routed to pallas
     "Y2": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                min_logits=9_000, upsample="subpixel", cv_pair="pair"),
+    # Y + level-1 TEXT-CROSS attns (Lq=350, Lk=238, logits 83k) also routed
+    # to pallas — the per-op profile localizes ~10 ms/step of BW-bound
+    # softmax traffic (fp32 (48,8,350,238) logits) to exactly these blocks
+    "P2": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=80_000, upsample="subpixel", cv_pair="pair"),
+    # Y + kv-stationary q-chain sub-tiling (VERDICT r3 weak #4: the shipped
+    # MAGICDRIVE_KV_SUBTILE knob, measured)
+    "S2": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel", cv_pair="pair",
+               kv_subtile=2),
+    "S4": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel", cv_pair="pair",
+               kv_subtile=4),
 }
 
 
 def set_knobs(cfg):
     import magicdrive_tpu.core.resnet as resnet_mod
+    import magicdrive_tpu.kernels.fused_attention as fa_mod
 
     attn_mod._QKV_PROJ = cfg["qkv"]
     attn_mod._ATTN_IMPL = cfg["attn"]
@@ -100,6 +123,7 @@ def set_knobs(cfg):
     attn_mod._FUSED_MODE = cfg.get("mode", "auto")
     attn_mod._AUTO_PALLAS_MIN_LOGITS = cfg.get("min_logits", 512 * 512)
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
+    fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
 
 
 def fetch(tree):

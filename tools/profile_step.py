@@ -34,7 +34,19 @@ def main():
     bm = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bm)
 
-    if pipeline_mode:
+    if "--vae" in sys.argv:
+        import jax.numpy as jnp
+
+        lat = jnp.zeros((bm.B * bm.N, bm.h, bm.w, 4), jnp.bfloat16)
+        f = jax.jit(lambda *a: bm.vae_decode(*a))
+        out = f(bm.params, lat)
+        bm.fetch(out)
+        print("warm; tracing 3 vae decodes ...", flush=True)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = f(bm.params, lat)
+            bm.fetch(out)
+    elif pipeline_mode:
         import jax.numpy as jnp
 
         from magicdrive_tpu.data.collate import CollateConfig, collate_fn
