@@ -72,6 +72,26 @@ def sd15mv_rawbox_272x736() -> ModelPreset:
     )
 
 
+def sd15mv_rawbox_424x800() -> ModelPreset:
+    """The released visualization-quality model: 424x800 with a 0.25 m/px
+    400x400 BEV map (ref:configs/exp/424x800abox0.1_nockpt.yaml,
+    ref:README.MD:33-34). Latent 53x100 -> level-0 L=5300, the shape the
+    kv-stationary fused kernel was sized for (kernels/fused_attention.py)."""
+    unet = UNetConfig(neighboring_view_pair=NUSCENES_NEIGHBORS)
+    cn = BEVControlNetConfig(
+        unet=dataclasses.replace(unet, neighboring_view_pair=None),
+        map_size=(8, 400, 400),
+        map_embedder_out_channels=(16, 32, 96, 256),
+        bbox=BBoxEmbedderConfig(mode="all-xyz"),
+    )
+    return ModelPreset(
+        name="SDv1.5mv-rawbox-424x800", unet=unet, controlnet=cn,
+        vae=VAEConfig(), clip=CLIPTextConfig(),
+        pipeline=PipelineConfig(latent_height=53, latent_width=100),
+        image_size=(424, 800), map_hw=(400, 400),
+    )
+
+
 def tiny_debug(n_cam: int = 6) -> ModelPreset:
     """CPU-runnable tiny model for tests/demos (BASELINE.json config 1)."""
     neighbors = NUSCENES_NEIGHBORS[:n_cam] if n_cam == 6 else tuple(
