@@ -45,6 +45,19 @@ NORM_IDENTITY = False
 # rounding of w1*x + w2*x vs (w1+w2)*x. Default "subpixel": measured VAE
 # decode 120.7 -> 112.6 ms and denoise step -2.8 ms (PERFORMANCE.md r3b).
 UPSAMPLE_IMPL = os.environ.get("MAGICDRIVE_UPSAMPLE_IMPL", "subpixel")
+# How the four subpixel parity outputs are interleaved into (B, 2H, 2W, C):
+# "pallas" = one-pass kernel (kernels/interleave.py, bias fused; falls back
+# to XLA when C % 128 != 0), "xla" = stack/transpose/reshape chain.
+INTERLEAVE_IMPL = os.environ.get("MAGICDRIVE_INTERLEAVE_IMPL", "pallas")
+# UNet up-block skip handling: "split" feeds the (x, skip) pair into the
+# ResnetBlock WITHOUT concatenating — GroupNorm combines per-channel
+# moments across the parts and conv1/conv_shortcut contract each part
+# against its input-channel slice of the kernel. The skip channel counts
+# (320/640) are not multiples of the 960/1280/1920 concat widths' tile
+# layout, so XLA lowers each concat as a pad+pad pair that writes the
+# full-width tensor TWICE (~3.1 GB/step at the B=4 flagship, round-4 HLO
+# census). "concat" materializes the concat (torch/diffusers graph shape).
+SKIP_CONCAT = os.environ.get("MAGICDRIVE_SKIP_CONCAT", "split")
 
 
 class GroupNorm(nn.Module):
@@ -61,11 +74,48 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        c = (sum(p.shape[-1] for p in parts) if parts is not None
+             else x.shape[-1])
         g = self.num_groups
         assert c % g == 0, (c, g)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if parts is not None:
+            # normalize the logical concat of the parts WITHOUT forming it:
+            # per-part per-channel sum/sumsq reduce to (B, C_part) vectors,
+            # concatenated (tiny) for the group combine; each part is then
+            # normalized with its channel slice of mul/add. Exactly the
+            # "channel" formulation below on the concat (groups that
+            # straddle a part boundary combine correctly because the
+            # moments are per-channel before the (C,)->(G,) sum).
+            if NORM_IDENTITY:
+                return tuple(p.astype(self.dtype) for p in parts)
+            red = tuple(range(1, parts[0].ndim - 1))
+            n = np.prod([parts[0].shape[i] for i in red]) * (c // g)
+            p32 = [p.astype(jnp.float32) for p in parts]
+            s = jnp.concatenate([jnp.sum(p, axis=red) for p in p32], -1)
+            ss = jnp.concatenate(
+                [jnp.sum(p * p, axis=red) for p in p32], -1)   # (B, C)
+            gm = s.reshape(-1, g, c // g).sum(-1) / n          # (B, G)
+            gm2 = ss.reshape(-1, g, c // g).sum(-1) / n
+            rstd = jax.lax.rsqrt(gm2 - gm * gm + self.epsilon)
+            mul = jnp.repeat(rstd, c // g, axis=1) * scale
+            add = bias - jnp.repeat(gm * rstd, c // g, axis=1) * scale
+            outs, off = [], 0
+            for p, q in zip(parts, p32):
+                ci = p.shape[-1]
+                shape = (p.shape[0],) + (1,) * len(red) + (ci,)
+                m, a = mul[:, off:off + ci], add[:, off:off + ci]
+                off += ci
+                if NORM_APPLY == "compute" and self.dtype != jnp.float32:
+                    outs.append(p.astype(self.dtype)
+                                * m.astype(self.dtype).reshape(shape)
+                                + a.astype(self.dtype).reshape(shape))
+                else:
+                    outs.append((q * m.reshape(shape)
+                                 + a.reshape(shape)).astype(self.dtype))
+            return tuple(outs)
         if NORM_IDENTITY:
             return x.astype(self.dtype)
 
@@ -114,10 +164,32 @@ class ResnetBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
-        in_channels = x.shape[-1]
-        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
-        h = conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        """x: (B, H, W, C), or a tuple of (B, H, W, C_i) parts standing for
+        their channel concat (the UNet up-block skips). With
+        ``SKIP_CONCAT=split`` the parts are never concatenated: norm1 and
+        conv1/conv_shortcut consume them part-wise (same params, same
+        math up to fp reorder). Param layout is identical either way."""
+        parts = tuple(x) if isinstance(x, (tuple, list)) else None
+        if parts is not None:
+            in_channels = sum(p.shape[-1] for p in parts)
+            if (SKIP_CONCAT != "split" or len(parts) == 1
+                    or GN_IMPL != "channel"
+                    or in_channels == self.out_channels):
+                x = (parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=-1))
+                parts = None
+        if parts is not None:
+            hs = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                           name="norm1")(parts)
+            hs = tuple(nn.silu(h) for h in hs)
+            h = Conv2DParams(in_channels, self.out_channels, 3,
+                             dtype=self.dtype, name="conv1").split_call(hs)
+        else:
+            in_channels = x.shape[-1]
+            h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                          name="norm1")(x)
+            h = nn.silu(h)
+            h = conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=jnp.float32, name="time_emb_proj")(nn.silu(temb))
@@ -125,7 +197,11 @@ class ResnetBlock2D(nn.Module):
         h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
-        if in_channels != self.out_channels:
+        if parts is not None:
+            x = Conv2DParams(in_channels, self.out_channels, 1,
+                             dtype=self.dtype, name="conv_shortcut"
+                             ).split_call(parts, padding=((0, 0), (0, 0)))
+        elif in_channels != self.out_channels:
             x = conv(self.out_channels, kernel=1, padding=0, dtype=self.dtype,
                      name="conv_shortcut")(x)
         return x + h
@@ -165,6 +241,21 @@ class Conv2DParams(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return y + self.bias.astype(self.dtype)
 
+    def split_call(self, parts, padding=((1, 1), (1, 1))):
+        """conv(concat(parts)) == sum_i conv(part_i, kernel[:, :, slice_i])
+        — the concat (and XLA's pad+pad lowering of it) never exists."""
+        y, off = None, 0
+        for p in parts:
+            ci = p.shape[-1]
+            w = jax.lax.slice_in_dim(self.kernel, off, off + ci, axis=2)
+            t = jax.lax.conv_general_dilated(
+                p, w.astype(self.dtype), (1, 1), padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = t if y is None else y + t
+            off += ci
+        assert off == self.in_features, (off, self.in_features)
+        return y + self.bias.astype(self.dtype)
+
 
 def _fold_rows(k, parity):
     # 3 taps -> 2 taps per output parity: floor((2i+di+ki-1)/2) hits source
@@ -195,6 +286,10 @@ def upsample2x_conv(x, kernel, bias, dtype):
                 x, kb.astype(dtype), (1, 1), (pad_h, pad_w),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             outs.append(y)
+    if INTERLEAVE_IMPL == "pallas" and outs[0].shape[-1] % 128 == 0:
+        from magicdrive_tpu.kernels.interleave import interleave2x2
+
+        return interleave2x2(*outs, bias.astype(dtype))
     y = jnp.stack(outs, axis=3)                           # (B, H, W, 4, Co)
     y = y.reshape(b, h, w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * w, -1)

@@ -13,6 +13,7 @@ cross-view step reshapes to (B, N_cam, L, C) with static ``n_cam``.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -51,6 +52,13 @@ class GatedConnector(nn.Module):
 # round-3b composition it takes the denoise step 216.7 -> 215.8 ms on top
 # of the kvstat + level-1-pallas + subpixel set (PERFORMANCE.md).
 _FF_DEFAULT = "fused2"
+
+# How the cross-view pair kernels fetch each neighbor's hidden states:
+# "kernel" = the kv BlockSpec index map applies the ring permutation
+# (v + s) % n in-grid, so the rolled HBM copies never exist (the round-4
+# HLO census attributed ~1.9 GB/step of pad traffic to the jnp.roll
+# gathers); "roll" = materialize jnp.roll copies (pre-round-4 behavior).
+_CV_GATHER = os.environ.get("MAGICDRIVE_CV_GATHER", "kernel")
 
 
 class _DenseParams(nn.Module):
@@ -225,6 +233,15 @@ class BasicTransformerBlock(nn.Module):
         return out
 
     @staticmethod
+    def _ring_shift(static_idx, n):
+        """s such that idx[i] == (i+s) % n for all i, else None."""
+        idx = list(static_idx)
+        if len(idx) != n:
+            return None
+        s = idx[0] % n
+        return s if all(j == (i + s) % n for i, j in enumerate(idx)) else None
+
+    @staticmethod
     def _take_views(t, static_idx):
         """Gather camera views along axis 1 by a STATIC index list; when the
         indices are a constant ring shift (the nuScenes neighbor layout,
@@ -232,11 +249,10 @@ class BasicTransformerBlock(nn.Module):
         instead of a gather — measurably cheaper on TPU (the per-op profile
         attributed ~4 ms/step to these gathers)."""
         n = t.shape[1]
-        idx = list(static_idx)
-        s = (idx[0] - 0) % n
-        if all(j == (i + s) % n for i, j in enumerate(idx)) and len(idx) == n:
+        s = BasicTransformerBlock._ring_shift(static_idx, n)
+        if s is not None:
             return jnp.roll(t, -s, axis=1)
-        return jnp.take(t, jnp.asarray(idx), axis=1)
+        return jnp.take(t, jnp.asarray(static_idx), axis=1)
 
     def _cross_view(self, x):
         """Cross-view attention over neighboring cameras.
@@ -295,18 +311,30 @@ class BasicTransformerBlock(nn.Module):
             if use_pair or use_kv_pair:
                 # both neighbors in ONE kernel launch: q projected once,
                 # weights resident once, one accumulator/output
-                xkv1, xkv2 = (rearrange(
-                    self._take_views(hv, [p[nb] for p in np_pairs]),
-                    "b n l c -> (b n) l c") for nb in range(2))
+                s1, s2 = (self._ring_shift([p[nb] for p in np_pairs], n_cam)
+                          for nb in range(2))
+                if (_CV_GATHER == "kernel" and s1 is not None
+                        and s2 is not None):
+                    # ring neighbors: the kernels' kv BlockSpec index map
+                    # applies (v + s) % n in-grid — the rolled HBM copies
+                    # (1.9 GB/step of pad traffic, round-4 HLO census)
+                    # never exist in the forward
+                    xkv1 = xkv2 = flat
+                    shifts = (s1, s2, n_cam)
+                else:
+                    xkv1, xkv2 = (rearrange(
+                        self._take_views(hv, [p[nb] for p in np_pairs]),
+                        "b n l c -> (b n) l c") for nb in range(2))
+                    shifts = None
                 if use_kv_pair:
                     o = fused_kvstat_attention_pair(
                         flat, xkv1, xkv2, wq, wk, wv,
-                        heads=self.n_heads, scale=scale)
+                        heads=self.n_heads, scale=scale, shifts=shifts)
                     acc = attn4.project_out(o, n_summed=n_nb)
                 else:
                     acc = fused_qkv_out_attention_pair(
                         flat, xkv1, xkv2, wq, wk, wv, wo,
-                        heads=self.n_heads, scale=scale)
+                        heads=self.n_heads, scale=scale, shifts=shifts)
                     if attn4.to_out.bias is not None:
                         acc = acc + n_nb * attn4.to_out.bias.astype(
                             self.dtype)

@@ -220,8 +220,7 @@ def _flash_fwd(q, k, v, scale, kv_len, block_q, block_k, interpret,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, dq_ref,
-                   acc_scr, *, scale: float, kv_len: int, block_k: int,
-                   k_edge: bool):
+                   acc_scr, *, scale: float, kv_len: int, block_k: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -230,13 +229,6 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, dq_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q, kk, vv, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    if k_edge:
-        # partial edge k blocks read unspecified rows: the s-mask below keeps
-        # the softmax exact, but garbage k/v rows still reach the dp and
-        # dq-accumulate dots where 0 * NaN would poison in-range outputs —
-        # zero them (the backward no longer pads k/v in HBM; VERDICT r3 #4)
-        kk = _clean_v(kk, j * block_k, kv_len)
-        vv = _clean_v(vv, j * block_k, kv_len)
     s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
@@ -259,8 +251,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale: float, kv_len: int, block_k: int,
-                    q_len: int, block_q: int, q_edge: bool):
+                    *, scale: float, kv_len: int, block_k: int):
     i = pl.program_id(2)   # q block index (reduction axis)
     nq = pl.num_programs(2)
     j = pl.program_id(1)
@@ -271,24 +262,12 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, o_ref,
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     q, kk, vv, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-    o_blk, lse = o_ref[0], lse_ref[0]
-    if q_edge:
-        # partial edge q blocks read unspecified q/dO/O/lse rows that this
-        # kernel CONTRACTS over (dV += P^T dO, dK += dS^T Q) — zero the
-        # operand rows so the edge contributes exactly nothing. With q=0,
-        # do=0, lse=0: p=1 on in-range cols, dp=delta=0, ds=0. This replaces
-        # the old HBM pad-to-block copies of q/do/o/lse (VERDICT r3 #4).
-        off = i * block_q
-        q = _clean_v(q, off, q_len)
-        do = _clean_v(do, off, q_len)
-        o_blk = _clean_v(o_blk, off, q_len)
-        lse = _clean_v(lse, off, q_len)
     s = jax.lax.dot_general(q, kk, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_k
     s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse)                                     # (bq, bk)
-    delta = jnp.sum(do.astype(jnp.float32) * o_blk.astype(jnp.float32),
+    p = jnp.exp(s - lse_ref[0])                              # (bq, bk)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
                     axis=-1, keepdims=True)                  # (bq, 1)
     # dV_j += P^T dO  — contract over the q axis
     dv_scr[:] += jax.lax.dot_general(
@@ -315,28 +294,28 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
 
     # The backward working set (two live fp32 logits tiles + four operand
     # blocks + fp32 scratch) is larger than the forward's; pick its own
-    # VMEM-safe blocks. Like the forward, Lq/Lk need NOT be block multiples:
-    # the grids are ceil-divided and the partial edge blocks are handled
-    # IN-KERNEL (q/dO/O/lse rows and k/v rows zeroed where the contraction
-    # would see them; garbage that stays row-local is left to the dropped
-    # edge writes). The previous pad-to-block + slice-back scheme
-    # materialized six padded HBM copies live concurrently with their
-    # originals — the last 0.33 GiB of the 60-frame t=6 train budget
-    # (VERDICT r3 #4, PERFORMANCE.md round 3b).
+    # VMEM-safe blocks and re-pad. Zero-padded q rows are harmless: dO=0
+    # there makes their dK/dV contributions vanish, and their dq rows are
+    # sliced off; padded k columns are masked by kv_len inside the kernels.
     block_q, block_k = _auto_blocks_bwd(Lq_in, Lk_in,
                                         max(_ceil_to(D, 128), 128),
                                         q.dtype.itemsize)
     block_q = _pick_block(Lq_in, block_q)
     block_k = _pick_block(Lk_in, block_k)
-    nq, nk = pl.cdiv(Lq_in, block_q), pl.cdiv(Lk_in, block_k)
-    # static edge flags: kv_len <= Lk_in (callers may mask a shorter true
-    # kv length than the array carries)
-    k_edge = kv_len < nk * block_k
-    q_edge = Lq_in % block_q != 0
+    Lq, Lk = _ceil_to(Lq_in, block_q), _ceil_to(Lk_in, block_k)
+
+    def pad_rows(t, L_target):
+        if t.shape[1] == L_target:
+            return t
+        return jnp.pad(t, ((0, 0), (0, L_target - t.shape[1]), (0, 0)))
+
+    q, do, lse, o = (pad_rows(t, Lq) for t in (q, do, lse, o))
+    k, v = pad_rows(k, Lk), pad_rows(v, Lk)
+    nq, nk = Lq // block_q, Lk // block_k
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
-                          block_k=block_k, k_edge=k_edge),
+                          block_k=block_k),
         grid=(BH, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
@@ -348,14 +327,13 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
-        out_shape=jax.ShapeDtypeStruct((BH, Lq_in, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, Lq, D), q.dtype),
         interpret=interpret,
     )(q, k, v, do, lse, o)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
-                          block_k=block_k, q_len=Lq_in, block_q=block_q,
-                          q_edge=q_edge),
+                          block_k=block_k),
         grid=(BH, nk, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, j, i: (b, i, 0)),
@@ -374,12 +352,13 @@ def _flash_bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_k,
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
         out_shape=(
-            jax.ShapeDtypeStruct((BH, Lk_in, D), k.dtype),
-            jax.ShapeDtypeStruct((BH, Lk_in, D), v.dtype),
+            jax.ShapeDtypeStruct((BH, Lk, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Lk, D), v.dtype),
         ),
         interpret=interpret,
     )(q, k, v, do, lse, o)
-    return dq, dk, dv
+    # slice re-padding back to the caller's (fwd-padded) lengths
+    return dq[:, :Lq_in], dk[:, :Lk_in], dv[:, :Lk_in]
 
 
 # ---------------------------------------------------------------------------

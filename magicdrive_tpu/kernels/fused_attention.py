@@ -290,6 +290,30 @@ def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
         o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
+def _shift_views(x, s, n):
+    """shifted[(b, v)] = x[(b, (v+s) % n)] on a flattened (B*n, L, C) batch."""
+    B, L, C = x.shape
+    return jnp.roll(x.reshape(B // n, n, L, C), -s, axis=1).reshape(B, L, C)
+
+
+def _unshift_views(g, s, n):
+    """Adjoint of _shift_views (the inverse ring permutation)."""
+    B, L, C = g.shape
+    return jnp.roll(g.reshape(B // n, n, L, C), s, axis=1).reshape(B, L, C)
+
+
+def _kv_index_map(shift):
+    """BlockSpec index map for a neighbor k/v operand: identity when
+    ``shift`` is None, else the ring permutation (b, v) -> (b, (v+s) % n)
+    applied IN the grid on the flattened batch axis — the rolled HBM copy
+    of the hidden states never exists (the round-4 HLO census attributed
+    ~1.9 GB/step of pad/copy traffic to exactly these jnp.roll gathers)."""
+    if shift is None:
+        return lambda b, *_: (b, 0, 0)
+    s, n = shift
+    return lambda b, *_: ((b // n) * n + (b % n + s) % n, 0, 0)
+
+
 def kvstat_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
                         esize: int = 2) -> bool:
     """Whether the kv-stationary fused kernel applies: k/v are projected
@@ -309,7 +333,7 @@ def pair_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
 
 
 def _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
-                   interpret):
+                   interpret, shifts=None):
     B, Lq, C = x_q.shape
     Lk, Ck = x_kv1.shape[1], x_kv1.shape[2]
     bq = _auto_bq(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize, n_kv=2)
@@ -317,6 +341,8 @@ def _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
     C_out = wout.shape[1]
     from jax.experimental.pallas import tpu as pltpu
 
+    sh1, sh2 = ((shifts[0], shifts[2]), (shifts[1], shifts[2])) \
+        if shifts else (None, None)
     kernel = functools.partial(_fused_kernel_out2, scale=scale,
                                out_dtype=x_q.dtype)
     return pl.pallas_call(
@@ -324,8 +350,8 @@ def _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
         grid=(B, nq, heads),
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, i, h: (b, i, 0)),
-            pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
-            pl.BlockSpec((1, Lk, Ck), lambda b, i, h: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, Ck), _kv_index_map(sh1)),
+            pl.BlockSpec((1, Lk, Ck), _kv_index_map(sh2)),
             pl.BlockSpec((C, d_pad), lambda b, i, h: (0, h)),
             pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
             pl.BlockSpec((Ck, d_pad), lambda b, i, h: (0, h)),
@@ -344,32 +370,42 @@ def _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
     )(x_q, x_kv1, x_kv2, wq, wk, wv, wout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _pair_core_out(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
-                   interpret):
+                   interpret, shifts):
     return _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads,
-                          d_pad, interpret)
+                          d_pad, interpret, shifts)
 
 
 def _pair_out_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads, d_pad,
-                  interpret):
+                  interpret, shifts):
     y = _pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads,
-                       d_pad, interpret)
+                       d_pad, interpret, shifts)
     return y, (x_q, x_kv1, x_kv2, wq, wk, wv, wout)
 
 
-def _pair_out_bwd(scale, heads, d_pad, interpret, res, dy):
+def _pair_out_bwd(scale, heads, d_pad, interpret, shifts, res, dy):
     # two independent out-fused branches sharing x_q and the weights — run
     # the single-branch vjp per neighbor and sum the shared cotangents
-    # (optionally serialized — see _pair_bwd_serial).
+    # (optionally serialized — see _pair_bwd_serial). With in-grid shifts
+    # the rolled copies exist only here in the backward; their cotangents
+    # go back through the inverse permutation.
     x_q, x_kv1, x_kv2, wq, wk, wv, wout = res
+    if shifts is not None:
+        s1, s2, n = shifts
+        x_kv1 = _shift_views(x_kv1, s1, n)
+        x_kv2 = _shift_views(x_kv2, s2, n)
 
     def branch(xq, xkv, a, b, c, w):
         return _fused_core_out(xq, xkv, a, b, c, w, scale, heads, d_pad,
                                interpret)
 
-    return _sum_pair_grads(branch, (x_q, x_kv1, wq, wk, wv, wout),
-                           (x_q, x_kv2, wq, wk, wv, wout), dy)
+    g = _sum_pair_grads(branch, (x_q, x_kv1, wq, wk, wv, wout),
+                        (x_q, x_kv2, wq, wk, wv, wout), dy)
+    if shifts is not None:
+        g = (g[0], _unshift_views(g[1], s1, n),
+             _unshift_views(g[2], s2, n)) + tuple(g[3:])
+    return g
 
 
 _pair_core_out.defvjp(_pair_out_fwd, _pair_out_bwd)
@@ -386,16 +422,21 @@ def fused_qkv_out_attention_pair(
     heads: int,
     scale: float,
     interpret: Optional[bool] = None,
+    shifts: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """Sum of two out-fused attention branches sharing q (the cross-view
     "add"-mode pair) in ONE kernel: separate softmaxes per neighbor, one q
     projection, one out-accumulator. Out bias NOT applied (callers add
-    ``n_nb * bias``). Returns (B, Lq, C_out)."""
+    ``n_nb * bias``). Returns (B, Lq, C_out).
+
+    shifts=(s1, s2, n_views): x_kv1/x_kv2 are the UNROLLED hidden states
+    (typically x_q itself) and each branch reads view (v + s) % n_views
+    via the kv BlockSpec index map — no rolled HBM copies."""
     if interpret is None:
         interpret = _interpret_default()
     d_pad = wq.shape[1] // heads
     return _pair_core_out(x_q, x_kv1, x_kv2, wq, wk, wv, wout, scale, heads,
-                          d_pad, interpret)
+                          d_pad, interpret, shifts)
 
 
 def fused_is_efficient(Lq: int, Lk: int, C: int, dim_head: int,
@@ -586,7 +627,7 @@ _fused_kvstat_core.defvjp(_fused_kvstat_fwd, _fused_bwd)
 
 
 def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
-                          d_pad, interpret):
+                          d_pad, interpret, shifts=None):
     from jax.experimental.pallas import tpu as pltpu
 
     B, Lq, C = x_q.shape
@@ -596,6 +637,8 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
     assert bq is not None, "caller must check kvstat_pair_fits"
     nq = pl.cdiv(Lq, bq)
 
+    sh1, sh2 = ((shifts[0], shifts[2]), (shifts[1], shifts[2])) \
+        if shifts else (None, None)
     kernel = functools.partial(_fused_kvstat_pair_kernel, scale=scale,
                                out_dtype=x_q.dtype)
     scr = lambda: pltpu.VMEM((Lk, d_pad), x_q.dtype)
@@ -604,8 +647,8 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
         grid=(B, heads, nq),
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, h, i: (b, i, 0)),
-            pl.BlockSpec((1, Lk, Ck), lambda b, h, i: (b, 0, 0)),
-            pl.BlockSpec((1, Lk, Ck), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, Lk, Ck), _kv_index_map(sh1)),
+            pl.BlockSpec((1, Lk, Ck), _kv_index_map(sh2)),
             pl.BlockSpec((C, d_pad), lambda b, h, i: (0, h)),
             pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
             pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
@@ -624,17 +667,17 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
     )(x_q, x_kv1, x_kv2, wq, wk, wv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
-                      interpret):
+                      interpret, shifts):
     return _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale,
-                                 heads, d_pad, interpret)
+                                 heads, d_pad, interpret, shifts)
 
 
 def _kvstat_pair_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
-                     interpret):
+                     interpret, shifts):
     y = _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
-                              d_pad, interpret)
+                              d_pad, interpret, shifts)
     return y, (x_q, x_kv1, x_kv2, wq, wk, wv)
 
 
@@ -666,14 +709,24 @@ def _sum_pair_grads(branch, args1, args2, dy):
         a + b for a, b in zip(g1[2:], g2[2:]))
 
 
-def _kvstat_pair_bwd(scale, heads, d_pad, interpret, res, dy):
+def _kvstat_pair_bwd(scale, heads, d_pad, interpret, shifts, res, dy):
     x_q, x_kv1, x_kv2, wq, wk, wv = res
+    if shifts is not None:
+        # in-grid shift mode: the rolled copies exist only here in the
+        # backward; cotangents return through the inverse permutation
+        s1, s2, n = shifts
+        x_kv1 = _shift_views(x_kv1, s1, n)
+        x_kv2 = _shift_views(x_kv2, s2, n)
 
     def branch(xq, xkv, a, b, c):
         return _fused_core(xq, xkv, a, b, c, scale, heads, d_pad, interpret)
 
-    return _sum_pair_grads(branch, (x_q, x_kv1, wq, wk, wv),
-                           (x_q, x_kv2, wq, wk, wv), dy)
+    g = _sum_pair_grads(branch, (x_q, x_kv1, wq, wk, wv),
+                        (x_q, x_kv2, wq, wk, wv), dy)
+    if shifts is not None:
+        g = (g[0], _unshift_views(g[1], s1, n),
+             _unshift_views(g[2], s2, n)) + tuple(g[3:])
+    return g
 
 
 _kvstat_pair_core.defvjp(_kvstat_pair_fwd, _kvstat_pair_bwd)
@@ -689,16 +742,21 @@ def fused_kvstat_attention_pair(
     heads: int,
     scale: float,
     interpret: Optional[bool] = None,
+    shifts: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """SUM of two kv-stationary attention branches sharing q (cross-view
     "add"-mode pair) in one kernel. Returns (B, Lq, H, Dp) in the padded-
-    head layout — callers out-project the sum once (``n_summed=2``)."""
+    head layout — callers out-project the sum once (``n_summed=2``).
+
+    shifts=(s1, s2, n_views): x_kv1/x_kv2 are the UNROLLED hidden states
+    (typically x_q itself) and each branch reads view (v + s) % n_views
+    via the kv BlockSpec index map — no rolled HBM copies."""
     if interpret is None:
         interpret = _interpret_default()
     d_pad = wq.shape[1] // heads
     B, Lq, _ = x_q.shape
     out = _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
-                            d_pad, interpret)
+                            d_pad, interpret, shifts)
     return out.reshape(B, Lq, heads, d_pad)
 
 

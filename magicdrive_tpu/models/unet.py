@@ -123,10 +123,13 @@ class CrossAttnUpBlock(nn.Module):
     def __call__(self, x, skips, temb, context):
         assert len(skips) == self.num_layers
         for i in range(self.num_layers):
-            x = jnp.concatenate([x, skips[i]], axis=-1)
+            # handed as a PARTS tuple: with MAGICDRIVE_SKIP_CONCAT=split the
+            # resnet consumes (x, skip) without materializing the concat —
+            # XLA lowers these tile-misaligned concats as pad+pad pairs
+            # writing the full width twice (~3.1 GB/step, round-4 HLO census)
             x = ResnetBlock2D(self.out_channels, dtype=self.dtype,
                               groups=self.cfg.norm_num_groups,
-                              name=f"resnets_{i}")(x, temb)
+                              name=f"resnets_{i}")((x, skips[i]), temb)
             if self.has_attn:
                 x = Transformer2DModel(
                     self.cfg.num_attention_heads,

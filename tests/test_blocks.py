@@ -274,3 +274,47 @@ def test_vae_decoder_subpixel_matches_repeat():
     assert got.shape == (1, 32, 40, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_skip_concat_split_matches_concat():
+    """SKIP_CONCAT=split (part-wise norm1 + input-channel-split conv1 and
+    conv_shortcut, no materialized concat) must match the concat path —
+    same params, values, and grads; the up-block channel counts straddle
+    a GroupNorm group boundary (640+320 at 30 ch/group) on purpose."""
+    import magicdrive_tpu.core.resnet as rn
+    from magicdrive_tpu.core.resnet import ResnetBlock2D
+
+    rng = np.random.default_rng(7)
+    B, H, W = 2, 6, 5
+    x = jnp.asarray(rng.normal(size=(B, H, W, 640)).astype(np.float32))
+    skip = jnp.asarray(rng.normal(size=(B, H, W, 320)).astype(np.float32))
+    temb = jnp.asarray(rng.normal(size=(B, 96)).astype(np.float32))
+    blk = ResnetBlock2D(320, groups=32)
+
+    saved = rn.SKIP_CONCAT
+    try:
+        rn.SKIP_CONCAT = "concat"
+        params = blk.init(jax.random.PRNGKey(0), (x, skip), temb)
+
+        def loss_concat(p, a, b):
+            return (blk.apply(p, jnp.concatenate([a, b], -1), temb) ** 2).mean()
+
+        ref, (gx, gs) = jax.value_and_grad(loss_concat, argnums=(1, 2))(
+            params, x, skip)
+
+        rn.SKIP_CONCAT = "split"
+        # identical param tree from a tuple init in split mode
+        params_s = blk.init(jax.random.PRNGKey(0), (x, skip), temb)
+        assert (jax.tree.map(jnp.shape, params_s)
+                == jax.tree.map(jnp.shape, params))
+
+        def loss_split(p, a, b):
+            return (blk.apply(p, (a, b), temb) ** 2).mean()
+
+        got, (hx, hs) = jax.value_and_grad(loss_split, argnums=(1, 2))(
+            params, x, skip)
+    finally:
+        rn.SKIP_CONCAT = saved
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hx), np.asarray(gx), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(gs), atol=1e-6)

@@ -516,3 +516,130 @@ def test_kvstat_subtile_partition_exact():
         assert fa._sub_ranges(64) == [(0, 64)]
     finally:
         fa._KV_SUBTILE = old
+
+
+def test_interleave2x2_matches_xla_shuffle():
+    """kernels/interleave.py one-pass parity interleave == the XLA
+    stack/transpose/reshape chain in core/resnet.upsample2x_conv, incl.
+    an H that is not a multiple of the row block (edge-block safety)."""
+    from magicdrive_tpu.kernels.interleave import interleave2x2
+
+    rng = np.random.default_rng(11)
+    for B, H, W, C in ((2, 5, 7, 128), (1, 8, 4, 256)):
+        ys = [jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+              for _ in range(4)]
+        bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+        want = jnp.stack(ys, axis=3).reshape(B, H, W, 2, 2, C)
+        want = want.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C)
+        want = want + bias
+        got = interleave2x2(*ys, bias, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0, rtol=0)
+
+
+def test_interleave2x2_grad_is_exact_adjoint():
+    from magicdrive_tpu.kernels.interleave import interleave2x2
+
+    rng = np.random.default_rng(12)
+    B, H, W, C = 1, 3, 2, 128
+    ys = [jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+          for _ in range(4)]
+    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+
+    def ref(*a):
+        y = jnp.stack(a[:4], axis=3).reshape(B, H, W, 2, 2, C)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C)
+        return jnp.sum(jnp.sin(y + a[4]))
+
+    def ker(*a):
+        return jnp.sum(jnp.sin(interleave2x2(*a[:4], a[4], interpret=True)))
+
+    g_want = jax.grad(ref, argnums=tuple(range(5)))(*ys, bias)
+    g_got = jax.grad(ker, argnums=tuple(range(5)))(*ys, bias)
+    for w, g in zip(g_want, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["out", "kvstat"])
+def test_pair_kernels_inkernel_shift_matches_rolled(variant):
+    """shifts=(s1, s2, n): the kv BlockSpec index map's in-grid ring
+    permutation must equal attention over materialized jnp.roll copies —
+    forward and gradients (the bwd routes cotangents through the inverse
+    permutation)."""
+    from magicdrive_tpu.kernels import fused_attention as fa
+
+    rng = np.random.default_rng(21)
+    n, Bg, L, C, H, D, DP = 6, 2, 36, 48, 3, 16, 128
+    B = Bg * n
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    wpad = [jnp.pad(jnp.asarray(
+        (rng.normal(size=(C, H, D)) * 0.1).astype(np.float32)),
+        ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP) for _ in range(3)]
+    wo = jnp.pad(jnp.asarray(
+        (rng.normal(size=(H, D, C)) * 0.1).astype(np.float32)),
+        ((0, 0), (0, DP - D), (0, 0))).reshape(H * DP, C)
+    scale = D ** -0.5
+    s1, s2 = 5, 1                       # the nuScenes ring neighbors
+
+    def rolled(t, s):
+        return jnp.roll(t.reshape(Bg, n, L, C), -s, axis=1).reshape(B, L, C)
+
+    if variant == "out":
+        def f(x, shifts, kv1, kv2):
+            return fa.fused_qkv_out_attention_pair(
+                x, kv1, kv2, *wpad, wo, heads=H, scale=scale,
+                interpret=True, shifts=shifts)
+    else:
+        def f(x, shifts, kv1, kv2):
+            return fa.fused_kvstat_attention_pair(
+                x, kv1, kv2, *wpad, heads=H, scale=scale,
+                interpret=True, shifts=shifts)
+
+    want = f(x, None, rolled(x, s1), rolled(x, s2))
+    got = f(x, (s1, s2, n), x, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+    g_want = jax.grad(lambda t: (f(t, None, rolled(t, s1),
+                                   rolled(t, s2)) ** 2).mean())(x)
+    g_got = jax.grad(lambda t: (f(t, (s1, s2, n), t, t) ** 2).mean())(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=2e-6)
+
+
+def test_cross_view_gather_knob_matches_roll():
+    """MAGICDRIVE_CV_GATHER=kernel (in-grid kv permutation) through a full
+    cross-view block equals the rolled-copy path, values and grads."""
+    import magicdrive_tpu.core.attention as attn_mod
+    import magicdrive_tpu.core.transformer as tfm_mod
+    from magicdrive_tpu.core.transformer import BasicTransformerBlock
+
+    n_cam = 6
+    pairs = tuple(((i - 1) % n_cam, (i + 1) % n_cam) for i in range(n_cam))
+    blk = BasicTransformerBlock(32, 2, 16, cross_attention_dim=32,
+                                neighboring_view_pair=pairs,
+                                zero_module_type="none")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2 * n_cam, 40, 32))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * n_cam, 7, 32))
+    params = blk.init(jax.random.PRNGKey(2), x, ctx)
+
+    saved = (attn_mod._pallas_route, attn_mod._ATTN_IMPL,
+             attn_mod._CV_PAIR, attn_mod._FUSED_MODE, tfm_mod._CV_GATHER)
+    try:
+        attn_mod._pallas_route = lambda *a: True
+        attn_mod._ATTN_IMPL = "fused"
+        attn_mod._FUSED_MODE = "kvstat"
+        attn_mod._CV_PAIR = "pair"
+
+        def loss(p, t):
+            return (blk.apply(p, t, ctx) ** 2).mean()
+
+        tfm_mod._CV_GATHER = "roll"
+        ref, gref = jax.value_and_grad(loss, argnums=1)(params, x)
+        tfm_mod._CV_GATHER = "kernel"
+        got, ggot = jax.value_and_grad(loss, argnums=1)(params, x)
+    finally:
+        (attn_mod._pallas_route, attn_mod._ATTN_IMPL, attn_mod._CV_PAIR,
+         attn_mod._FUSED_MODE, tfm_mod._CV_GATHER) = saved
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                               atol=3e-5)
