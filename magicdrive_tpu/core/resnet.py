@@ -45,10 +45,11 @@ NORM_IDENTITY = False
 # rounding of w1*x + w2*x vs (w1+w2)*x. Default "subpixel": measured VAE
 # decode 120.7 -> 112.6 ms and denoise step -2.8 ms (PERFORMANCE.md r3b).
 UPSAMPLE_IMPL = os.environ.get("MAGICDRIVE_UPSAMPLE_IMPL", "subpixel")
-# How the four subpixel parity outputs are interleaved into (B, 2H, 2W, C):
-# "pallas" = one-pass kernel (kernels/interleave.py, bias fused; falls back
-# to XLA when C % 128 != 0), "xla" = stack/transpose/reshape chain.
-INTERLEAVE_IMPL = os.environ.get("MAGICDRIVE_INTERLEAVE_IMPL", "pallas")
+# (A pallas one-pass parity-interleave kernel for the subpixel shuffle was
+# built and chip-measured round 4: VAE decode 126.5 vs 112.3 ms — the XLA
+# stack/transpose/reshape chain fuses with the parity convs' epilogues and
+# the kernel's extra HBM round trip loses; removed per measure-or-delete,
+# record in PERFORMANCE.md round 4c.)
 # UNet up-block skip handling: "split" feeds the (x, skip) pair into the
 # ResnetBlock WITHOUT concatenating — GroupNorm combines per-channel
 # moments across the parts and conv1/conv_shortcut contract each part
@@ -286,10 +287,6 @@ def upsample2x_conv(x, kernel, bias, dtype):
                 x, kb.astype(dtype), (1, 1), (pad_h, pad_w),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             outs.append(y)
-    if INTERLEAVE_IMPL == "pallas" and outs[0].shape[-1] % 128 == 0:
-        from magicdrive_tpu.kernels.interleave import interleave2x2
-
-        return interleave2x2(*outs, bias.astype(dtype))
     y = jnp.stack(outs, axis=3)                           # (B, H, W, 4, Co)
     y = y.reshape(b, h, w, 2, 2, -1).transpose(0, 1, 3, 2, 4, 5)
     y = y.reshape(b, 2 * h, 2 * w, -1)

@@ -37,7 +37,6 @@ def perf_knob_snapshot() -> Dict[str, object]:
         "gn_impl": resnet.GN_IMPL,
         "norm_apply": resnet.NORM_APPLY,
         "upsample": resnet.UPSAMPLE_IMPL,
-        "interleave_impl": resnet.INTERLEAVE_IMPL,
         "skip_concat": resnet.SKIP_CONCAT,
         "cv_gather": tfm._CV_GATHER,
         "kv_subtile": fa._KV_SUBTILE,

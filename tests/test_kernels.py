@@ -518,48 +518,6 @@ def test_kvstat_subtile_partition_exact():
         fa._KV_SUBTILE = old
 
 
-def test_interleave2x2_matches_xla_shuffle():
-    """kernels/interleave.py one-pass parity interleave == the XLA
-    stack/transpose/reshape chain in core/resnet.upsample2x_conv, incl.
-    an H that is not a multiple of the row block (edge-block safety)."""
-    from magicdrive_tpu.kernels.interleave import interleave2x2
-
-    rng = np.random.default_rng(11)
-    for B, H, W, C in ((2, 5, 7, 128), (1, 8, 4, 256)):
-        ys = [jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
-              for _ in range(4)]
-        bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
-        want = jnp.stack(ys, axis=3).reshape(B, H, W, 2, 2, C)
-        want = want.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C)
-        want = want + bias
-        got = interleave2x2(*ys, bias, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=0, rtol=0)
-
-
-def test_interleave2x2_grad_is_exact_adjoint():
-    from magicdrive_tpu.kernels.interleave import interleave2x2
-
-    rng = np.random.default_rng(12)
-    B, H, W, C = 1, 3, 2, 128
-    ys = [jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
-          for _ in range(4)]
-    bias = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
-
-    def ref(*a):
-        y = jnp.stack(a[:4], axis=3).reshape(B, H, W, 2, 2, C)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C)
-        return jnp.sum(jnp.sin(y + a[4]))
-
-    def ker(*a):
-        return jnp.sum(jnp.sin(interleave2x2(*a[:4], a[4], interpret=True)))
-
-    g_want = jax.grad(ref, argnums=tuple(range(5)))(*ys, bias)
-    g_got = jax.grad(ker, argnums=tuple(range(5)))(*ys, bias)
-    for w, g in zip(g_want, g_got):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
-
-
 @pytest.mark.parametrize("variant", ["out", "kvstat"])
 def test_pair_kernels_inkernel_shift_matches_rolled(variant):
     """shifts=(s1, s2, n): the kv BlockSpec index map's in-grid ring

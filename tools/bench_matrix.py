@@ -109,11 +109,6 @@ CONFIGS = {
     "S4": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                min_logits=90_000, upsample="subpixel", cv_pair="pair",
                kv_subtile=4),
-    # Y + the XLA parity-interleave shuffle (round 4: the pallas one-pass
-    # interleave kernel is the new default; IX is the revert arm)
-    "IX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
-               min_logits=90_000, upsample="subpixel", cv_pair="pair",
-               interleave="xla"),
     # Y + rolled-copy cross-view gathers (round 4: the in-grid kv index-map
     # permutation is the new default; RX is the revert arm)
     "RX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
@@ -138,7 +133,6 @@ def set_knobs(cfg):
     attn_mod._ATTN_IMPL = cfg["attn"]
     os.environ["MAGICDRIVE_FF_IMPL"] = cfg["ff"]
     resnet_mod.UPSAMPLE_IMPL = cfg.get("upsample", "repeat")
-    resnet_mod.INTERLEAVE_IMPL = cfg.get("interleave", "pallas")
     attn_mod._FUSED_MODE = cfg.get("mode", "auto")
     attn_mod._AUTO_PALLAS_MIN_LOGITS = cfg.get("min_logits", 512 * 512)
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
