@@ -145,6 +145,17 @@ def _env_int(name: str, default: int) -> int:
 
 _KV_SUBTILE = _env_int("MAGICDRIVE_KV_SUBTILE", 1)
 
+# Heads resident per kv-stationary grid step. With the (B, H, nq) grid the
+# same x_q block is DMA'd once per head (8x its size in HBM traffic at the
+# flagship level-0: ~344 MB/call) and every projection is a narrow
+# (…, C) @ (C, 128) dot. A head GROUP of gh shares one x_q fetch per
+# (group, q-block), projects q/k/v through (C, gh*128) weight blocks (wider
+# MXU passes), and keeps gh heads' k/v resident in VMEM scratch — identical
+# math, per-head softmax unchanged. gh is clamped to the largest divisor of
+# `heads` whose scratch fits the VMEM budget, so 1 (the original kernel) is
+# always a valid fallback.
+_KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 1)
+
 
 def _sub_ranges(bq: int):
     """(start, size) sub-row tiles of a q block: _KV_SUBTILE even pieces
@@ -196,6 +207,84 @@ def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
         o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
+def _project_kv_into(xkv_ref, wk_ref, wv_ref, k_scr, v_scr):
+    """Chunked k/v projection into resident scratch (fp32 temporaries are
+    _KV_CHUNK rows; the weight block width sets the head-group width)."""
+    Lk = xkv_ref.shape[1]
+    for start in range(0, Lk, _KV_CHUNK):
+        size = min(_KV_CHUNK, Lk - start)
+        xkv = xkv_ref[0, pl.dslice(start, size)]
+        k = jax.lax.dot(xkv, wk_ref[...],
+                        preferred_element_type=jnp.float32)
+        v = jax.lax.dot(xkv, wv_ref[...],
+                        preferred_element_type=jnp.float32)
+        k_scr[pl.dslice(start, size), :] = k.astype(k_scr.dtype)
+        v_scr[pl.dslice(start, size), :] = v.astype(v_scr.dtype)
+
+
+def _group_attend(q, k_scr, v_scr, gh: int, d_pad: int, out_dtype):
+    """Per-head softmax attention of a group-projected q (bq, gh*d_pad)
+    against resident group k/v scratch; returns the (bq, gh*d_pad)
+    head-lane-blocked output."""
+    outs = []
+    for hh in range(gh):
+        sl = slice(hh * d_pad, (hh + 1) * d_pad)
+        s = jax.lax.dot_general(q[:, sl], k_scr[:, sl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot(p.astype(q.dtype), v_scr[:, sl],
+                        preferred_element_type=jnp.float32) / l
+        outs.append(o.astype(out_dtype))
+    return outs[0] if gh == 1 else jnp.concatenate(outs, axis=1)
+
+
+def _fused_kvstat_group_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref,
+                               o_ref, k_scr, v_scr, *, scale: float,
+                               gh: int, d_pad: int, out_dtype):
+    """Head-grouped kv-stationary kernel: grid (B, H/gh, nq) with gh heads'
+    k/v resident per group — one x_q fetch serves gh heads (the (B, H, nq)
+    grid re-DMAs it per head) and the q/k/v projections run as single
+    (…, C) @ (C, gh*d_pad) MXU passes. Math identical to
+    :func:`_fused_kvstat_kernel` (softmax is per-head)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        _project_kv_into(xkv_ref, wk_ref, wv_ref, k_scr, v_scr)
+
+    xq = xq_ref[0]
+    q = jax.lax.dot(xq, wq_ref[...],
+                    preferred_element_type=jnp.float32)  # (bq, gh*Dp)
+    q = (q * scale).astype(xq.dtype)
+    o_ref[0] = _group_attend(q, k_scr, v_scr, gh, d_pad, out_dtype)
+
+
+def _fused_kvstat_pair_group_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref,
+                                    wk_ref, wv_ref, o_ref, k1_scr, v1_scr,
+                                    k2_scr, v2_scr, *, scale: float,
+                                    gh: int, d_pad: int, out_dtype):
+    """Head-grouped paired-neighbor kv-stationary kernel (see
+    :func:`_fused_kvstat_pair_kernel` for the pair semantics and
+    :func:`_fused_kvstat_group_kernel` for the grouping)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        _project_kv_into(xkv1_ref, wk_ref, wv_ref, k1_scr, v1_scr)
+        _project_kv_into(xkv2_ref, wk_ref, wv_ref, k2_scr, v2_scr)
+
+    xq = xq_ref[0]
+    q = jax.lax.dot(xq, wq_ref[...],
+                    preferred_element_type=jnp.float32)
+    q = (q * scale).astype(xq.dtype)
+    o1 = _group_attend(q, k1_scr, v1_scr, gh, d_pad, jnp.float32)
+    o2 = _group_attend(q, k2_scr, v2_scr, gh, d_pad, jnp.float32)
+    o_ref[0] = (o1 + o2).astype(out_dtype)
+
+
 def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int,
              n_kv: int = 1) -> int:
     """Largest q block whose working set fits VMEM: fp32 (bq, Lk) logits
@@ -240,6 +329,68 @@ def _auto_bq_kvstat(Lq: int, Lk: int, C: int, d_pad: int,
         if fixed + var <= _VMEM_BUDGET:
             return bq
     return None
+
+
+# Physical VMEM on v5e is 128 MiB; Mosaic's default *scoped* limit is
+# 16 MiB. The grouped kernels size their working set against this budget
+# and raise the per-kernel limit via CompilerParams — TPU cores run one
+# kernel at a time, so a large working set only trades against the
+# kernel's own pipelining room. The estimate is PESSIMISTIC: Mosaic
+# software-pipelines the unrolled per-head loop, so each head's fp32
+# logits/p/o temporaries get their own live range (measured: 81.87 MiB
+# actual at gh=8/bq=512 pair vs 38 MiB modeled with buffer reuse).
+_GROUP_VMEM_BUDGET = 112 << 20
+
+
+def _group_vmem_estimate(Lk: int, C: int, d_pad: int, esize: int,
+                         n_kv: int, gh: int, bq: int) -> int:
+    """Pessimistic VMEM bytes for the head-grouped kv-stationary kernel:
+    double-buffered operand/output blocks plus NO temporary reuse across
+    the unrolled gh-head (and, for the pair, per-branch) attention loop."""
+    lk_pad = _ceil_to(Lk, 16)
+    ck = min(lk_pad, _KV_CHUNK)
+    gd = gh * d_pad
+    per_head = (bq * lk_pad * (4 + esize)    # logits fp32 + p cast
+                + bq * d_pad * 4)            # per-head o fp32
+    return (2 * n_kv * Lk * C * esize        # x_kv blocks, double-buffered
+            + n_kv * 2 * lk_pad * gd * esize  # resident k/v scratch
+            + 2 * 2 * ck * gd * 4             # chunked projection fp32 temps
+            + 2 * 3 * C * gd * esize          # weight blocks, double-buffered
+            + 2 * bq * C * esize              # x_q block, double-buffered
+            + bq * gd * (4 + esize)           # q fp32 + bf16 cast
+            + gh * n_kv * per_head            # unrolled attends, no reuse
+            + bq * gd * esize                 # per-group o concat
+            + 2 * bq * gd * esize)            # output block, double-buffered
+
+
+def _group_choice(heads: int, Lq: int, Lk: int, C: int, d_pad: int,
+                  esize: int, n_kv: int = 1):
+    """(gh, bq) for the kv-stationary kernels: the largest head group
+    gh <= _KV_HEADGROUP dividing ``heads`` whose pessimistic working set
+    fits _GROUP_VMEM_BUDGET (the raised per-kernel scoped limit). Falls
+    back to (1, bq) — the original one-head-per-grid-step kernel under
+    Mosaic's default scoped limit."""
+    for gh in sorted({g for g in (8, 4, 2) if g <= _KV_HEADGROUP
+                      and heads % g == 0}, reverse=True):
+        for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):
+            if bq > _ceil_to(Lq, 16):
+                continue
+            if (_group_vmem_estimate(Lk, C, d_pad, esize, n_kv, gh, bq)
+                    <= _GROUP_VMEM_BUDGET):
+                return gh, bq
+    return 1, _auto_bq_kvstat(Lq, Lk, C, d_pad, esize, n_kv)
+
+
+def _group_compiler_params(Lk: int, C: int, d_pad: int, esize: int,
+                           n_kv: int, gh: int, bq: int):
+    """Per-kernel Mosaic params raising the scoped-VMEM limit to the
+    pessimistic estimate (capped at 112 MiB, leaving 16 MiB of the 128 MiB
+    physical VMEM for the runtime)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    est = _group_vmem_estimate(Lk, C, d_pad, esize, n_kv, gh, bq)
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(est + (4 << 20), _GROUP_VMEM_BUDGET))
 
 
 def kvstat_pair_fits(Lq: int, Lk: int, C: int, dim_head: int,
@@ -513,27 +664,38 @@ def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
 
     B, Lq, C = x_q.shape
     Lk, Ck = x_kv.shape[1], x_kv.shape[2]
+    gh = 1
     if bq is None:
-        bq = _auto_bq_kvstat(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize)
+        gh, bq = _group_choice(heads, Lq, Lk, max(C, Ck), d_pad,
+                               x_q.dtype.itemsize)
         assert bq is not None, "caller must check kvstat_is_efficient"
     nq = pl.cdiv(Lq, bq)
 
-    kernel = functools.partial(_fused_kvstat_kernel, scale=scale,
-                               out_dtype=x_q.dtype)
+    extra = {}
+    if gh > 1:
+        kernel = functools.partial(_fused_kvstat_group_kernel, scale=scale,
+                                   gh=gh, d_pad=d_pad, out_dtype=x_q.dtype)
+        extra["compiler_params"] = _group_compiler_params(
+            Lk, max(C, Ck), d_pad, x_q.dtype.itemsize, 1, gh, bq)
+    else:
+        kernel = functools.partial(_fused_kvstat_kernel, scale=scale,
+                                   out_dtype=x_q.dtype)
+    gd = gh * d_pad
     return pl.pallas_call(
         kernel,
-        grid=(B, heads, nq),
+        grid=(B, heads // gh, nq),
+        **extra,
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, h, i: (b, i, 0)),
             pl.BlockSpec((1, Lk, Ck), lambda b, h, i: (b, 0, 0)),
-            pl.BlockSpec((C, d_pad), lambda b, h, i: (0, h)),
-            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
-            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
+            pl.BlockSpec((C, gd), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, h, i: (b, i, h)),
+        out_specs=pl.BlockSpec((1, bq, gd), lambda b, h, i: (b, i, h)),
         out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
-        scratch_shapes=[pltpu.VMEM((Lk, d_pad), x_q.dtype),
-                        pltpu.VMEM((Lk, d_pad), x_q.dtype)],
+        scratch_shapes=[pltpu.VMEM((Lk, gd), x_q.dtype),
+                        pltpu.VMEM((Lk, gd), x_q.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * (Lq * C + 2 * Lk * Ck) * d_pad
@@ -632,28 +794,38 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
 
     B, Lq, C = x_q.shape
     Lk, Ck = x_kv1.shape[1], x_kv1.shape[2]
-    bq = _auto_bq_kvstat(Lq, Lk, max(C, Ck), d_pad, x_q.dtype.itemsize,
-                         n_kv=2)
+    gh, bq = _group_choice(heads, Lq, Lk, max(C, Ck), d_pad,
+                           x_q.dtype.itemsize, n_kv=2)
     assert bq is not None, "caller must check kvstat_pair_fits"
     nq = pl.cdiv(Lq, bq)
 
     sh1, sh2 = ((shifts[0], shifts[2]), (shifts[1], shifts[2])) \
         if shifts else (None, None)
-    kernel = functools.partial(_fused_kvstat_pair_kernel, scale=scale,
-                               out_dtype=x_q.dtype)
-    scr = lambda: pltpu.VMEM((Lk, d_pad), x_q.dtype)
+    extra = {}
+    if gh > 1:
+        kernel = functools.partial(_fused_kvstat_pair_group_kernel,
+                                   scale=scale, gh=gh, d_pad=d_pad,
+                                   out_dtype=x_q.dtype)
+        extra["compiler_params"] = _group_compiler_params(
+            Lk, max(C, Ck), d_pad, x_q.dtype.itemsize, 2, gh, bq)
+    else:
+        kernel = functools.partial(_fused_kvstat_pair_kernel, scale=scale,
+                                   out_dtype=x_q.dtype)
+    gd = gh * d_pad
+    scr = lambda: pltpu.VMEM((Lk, gd), x_q.dtype)
     return pl.pallas_call(
         kernel,
-        grid=(B, heads, nq),
+        grid=(B, heads // gh, nq),
+        **extra,
         in_specs=[
             pl.BlockSpec((1, bq, C), lambda b, h, i: (b, i, 0)),
             pl.BlockSpec((1, Lk, Ck), _kv_index_map(sh1)),
             pl.BlockSpec((1, Lk, Ck), _kv_index_map(sh2)),
-            pl.BlockSpec((C, d_pad), lambda b, h, i: (0, h)),
-            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
-            pl.BlockSpec((Ck, d_pad), lambda b, h, i: (0, h)),
+            pl.BlockSpec((C, gd), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
+            pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d_pad), lambda b, h, i: (b, i, h)),
+        out_specs=pl.BlockSpec((1, bq, gd), lambda b, h, i: (b, i, h)),
         out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
         scratch_shapes=[scr(), scr(), scr(), scr()],
         interpret=interpret,

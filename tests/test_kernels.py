@@ -518,6 +518,63 @@ def test_kvstat_subtile_partition_exact():
         fa._KV_SUBTILE = old
 
 
+def test_kvstat_headgroup_matches_ungrouped():
+    """MAGICDRIVE_KV_HEADGROUP: the head-grouped kv-stationary kernels
+    (gh heads resident per grid step, wide (C, gh*Dp) projections) must be
+    bit-identical to the one-head-per-step kernels — softmax is per-head
+    and the group only changes the DMA/MXU schedule. Covers the self and
+    paired (with in-grid shifts) variants plus the VMEM-driven per-shape
+    clamp in _group_choice."""
+    import magicdrive_tpu.kernels.fused_attention as fa
+
+    rng = np.random.default_rng(11)
+    B, L, C, H, D, DP = 2, 48, 32, 8, 16, 128
+    n = 2  # views per batch group for the shift mode
+    x = jnp.asarray(rng.normal(size=(B * n, L, C)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(C, H, D)) * 0.1).astype(np.float32))
+          for _ in range(3)]
+    wpad = [jnp.pad(w, ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP)
+            for w in ws]
+    scale = D ** -0.5
+
+    old = fa._KV_HEADGROUP
+    try:
+        fa._KV_HEADGROUP = 1
+        want = fa._kvstat_fwd_impl(x, x, *wpad, scale=scale, heads=H,
+                                   d_pad=DP, interpret=True)
+        want_pair = fa._kvstat_pair_fwd_impl(
+            x, x, x, *wpad, scale=scale, heads=H, d_pad=DP, interpret=True,
+            shifts=(1, n - 1, n))
+        for gh in (2, 4, 8):
+            fa._KV_HEADGROUP = gh
+            got = fa._kvstat_fwd_impl(x, x, *wpad, scale=scale, heads=H,
+                                      d_pad=DP, interpret=True)
+            got_pair = fa._kvstat_pair_fwd_impl(
+                x, x, x, *wpad, scale=scale, heads=H, d_pad=DP,
+                interpret=True, shifts=(1, n - 1, n))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-7)
+            np.testing.assert_allclose(np.asarray(got_pair),
+                                       np.asarray(want_pair), atol=5e-7)
+        # the clamp: every real UNet shape fits full grouping under the
+        # raised per-kernel scoped-VMEM limit (pessimistic estimate incl.
+        # double buffers and the unrolled heads' unshared fp32 temps),
+        # with bq shrinking as Lk grows
+        fa._KV_HEADGROUP = 8
+        assert fa._group_choice(8, 1400, 1400, 320, 128, 2) == (8, 1024)
+        assert fa._group_choice(8, 1400, 1400, 320, 128, 2, n_kv=2) == \
+            (8, 512)
+        assert fa._group_choice(8, 5300, 5300, 320, 128, 2) == (8, 256)
+        # gh must divide heads: 6 heads can group 2 but not 4/8
+        assert fa._group_choice(6, 350, 350, 640, 128, 2)[0] == 2
+        # the pessimistic estimate bounds the measured Mosaic demand
+        # (81.87 MiB at gh=8/bq=512 pair, Lk=1400) and stays under budget
+        est = fa._group_vmem_estimate(1400, 320, 128, 2, 2, 8, 512)
+        assert int(81.87 * 2**20) <= est <= fa._GROUP_VMEM_BUDGET
+    finally:
+        fa._KV_HEADGROUP = old
+
+
 @pytest.mark.parametrize("variant", ["out", "kvstat"])
 def test_pair_kernels_inkernel_shift_matches_rolled(variant):
     """shifts=(s1, s2, n): the kv BlockSpec index map's in-grid ring

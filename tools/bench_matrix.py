@@ -109,6 +109,11 @@ CONFIGS = {
     "S4": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                min_logits=90_000, upsample="subpixel", cv_pair="pair",
                kv_subtile=4),
+    # Y + head-grouped kv-stationary kernels (gh heads resident per grid
+    # step, clamped per-shape by VMEM: lvl0 self gh=4 / pair gh=2 at 224x400)
+    "HG": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel", cv_pair="pair",
+               kv_headgroup=8),
     # Y + rolled-copy cross-view gathers (round 4: the in-grid kv index-map
     # permutation is the new default; RX is the revert arm)
     "RX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
@@ -137,6 +142,7 @@ def set_knobs(cfg):
     attn_mod._AUTO_PALLAS_MIN_LOGITS = cfg.get("min_logits", 512 * 512)
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
     fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
+    fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 1)
 
 
 def fetch(tree):
