@@ -21,6 +21,7 @@ inference concern; the train step remats the whole block anyway).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -195,6 +196,32 @@ def fused_geglu(
 from .flash_attention import _VMEM_BUDGET  # noqa: E402
 
 
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+# Row-block override for the whole-FF kernel. 0 = auto (the conservative
+# _VMEM_BUDGET sizing below, bm=512 at the flagship level-0). A larger
+# explicit bm raises the per-kernel Mosaic scoped-VMEM limit the same way
+# the head-grouped attention kernels do (fused_attention._group_compiler
+# _params) — v5e has 128 MiB physical VMEM vs the 16 MiB default limit.
+_FF_BM = _env_int("MAGICDRIVE_FF_BM", 0)
+
+
+def _ff_vmem_estimate(bm: int, K: int, N: int, C: int, esize: int) -> int:
+    """Pessimistic working set of one whole-FF grid step: double-buffered
+    x/out blocks, resident weights, both fp32 halves plus the gated cast."""
+    return (2 * bm * K * esize            # x block, double-buffered
+            + (2 * K * N + N * C) * esize  # Wv, Wg, W2 resident
+            + 2 * bm * N * 4               # hv, hg fp32
+            + bm * N * esize               # gated product cast
+            + bm * C * 4                   # output fp32
+            + 2 * bm * C * esize)          # out block, double-buffered
+
+
 def _ff_kernel(x_ref, wv_ref, wg_ref, bv_ref, bg_ref, w2_ref, o_ref):
     x = x_ref[...]
     hv = jax.lax.dot(x, wv_ref[...], preferred_element_type=jnp.float32)
@@ -257,9 +284,18 @@ def _ff_fwd_impl(x, wv, wg, bv, bg, w2, block_m, interpret):
     in_specs.append(pl.BlockSpec((N, C), lambda i: (0, 0)))
     args.append(w2)
 
+    extra = {}
+    est = _ff_vmem_estimate(block_m, K, N, C, x.dtype.itemsize)
+    if est > _VMEM_BUDGET:
+        from jax.experimental.pallas import tpu as pltpu
+
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(est + (4 << 20), 112 << 20))
+
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(M, block_m),),
+        **extra,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((block_m, C), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, C), x.dtype),
@@ -317,7 +353,12 @@ def fused_ff(
     bv = bg = None
     if bias1 is not None:
         bv, bg = bias1[:N], bias1[N:]
-    bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
+    if _FF_BM > 0:
+        bm = min(_FF_BM, _ceil_to(M, 8))
+        if _ff_vmem_estimate(bm, K, N, C, x.dtype.itemsize) > (112 << 20):
+            bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
+    else:
+        bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
     assert bm is not None, "caller must check ff_full_fusion_fits"
     y = _ff_core(x.reshape(M, K), wv, wg, bv, bg, kernel2, bm, interpret)
     return y.reshape(*lead, C)
