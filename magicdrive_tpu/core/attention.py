@@ -75,15 +75,6 @@ _FUSED_MODE = _os.environ.get("MAGICDRIVE_FUSED_MODE", "kvstat")
 # "split" keeps one kernel per neighbor.
 _CV_PAIR = _os.environ.get("MAGICDRIVE_CV_PAIR", "pair")
 
-# Out-projection consumption of the padded-head kernel output: "padded"
-# (default) contracts the (…, H*Dp) layout against zero-row-padded weights
-# (3.2x the logical FLOPs at dim_head 40, but no relayout); "slice" cuts
-# each head back to its logical depth first and contracts against the
-# original (H*hd, C) kernel — pays a lane relayout to drop the padding
-# FLOPs. A/B hook: which side wins depends on whether XLA fuses the slice
-# into the dot's operand read.
-_OUT_PROJ = _os.environ.get("MAGICDRIVE_OUT_PROJ", "padded")
-
 # QKV projection fusion knob: "fused" (default) projects self-attention
 # q/k/v in one concatenated matmul (one MXU launch); "separate" restores
 # the three independent projections. Same math/params either way — the
@@ -275,11 +266,14 @@ class _OutProj(nn.Module):
         return kernel.reshape(h * d, -1)
 
     def __call__(self, o, n_summed: int = 1):
-        h, hd = self.heads, self.dim_head
+        # The padded (…, H*Dp) layout is contracted against zero-row-padded
+        # weights ON PURPOSE: slicing each head back to dim_head first
+        # (dropping the 3.2x padding FLOPs for a lane relayout) measured
+        # 208.9 vs 197.8 ms on the denoise step — the relayout costs more
+        # than the padded dot (PERFORMANCE.md round 4d, arm OS; removed
+        # per measure-or-delete).
+        h = self.heads
         d = o.shape[-1]
-        if d != hd and _OUT_PROJ == "slice":
-            o = o[..., :hd]
-            d = hd
         y = o.reshape(*o.shape[:-2], h * d) @ self.padded_kernel(d)
         if self.bias is not None:
             y = y + n_summed * self.bias.astype(self.dtype)

@@ -153,8 +153,11 @@ _KV_SUBTILE = _env_int("MAGICDRIVE_KV_SUBTILE", 1)
 # MXU passes), and keeps gh heads' k/v resident in VMEM scratch — identical
 # math, per-head softmax unchanged. gh is clamped to the largest divisor of
 # `heads` whose scratch fits the VMEM budget, so 1 (the original kernel) is
-# always a valid fallback.
-_KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 1)
+# always a valid fallback. Default 2, measured on chip (B=4 flagship
+# denoise step, PERFORMANCE.md round 4d): gh=2 runs 186.4 ms vs 197.6 at
+# gh=1 (one full-length q block per two heads), while gh=4 (196.3) and
+# gh=8 (212.3) give the DMA savings back to VMEM pressure.
+_KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 2)
 
 
 def _sub_ranges(bq: int):

@@ -41,7 +41,6 @@ def perf_knob_snapshot() -> Dict[str, object]:
         "cv_gather": tfm._CV_GATHER,
         "kv_subtile": fa._KV_SUBTILE,
         "kv_headgroup": fa._KV_HEADGROUP,
-        "out_proj": attn._OUT_PROJ,
         "ff_bm": _ff_bm(),
         "pair_bwd": os.environ.get("MAGICDRIVE_PAIR_BWD", "free"),
     }

@@ -54,34 +54,6 @@ def test_lane_padded_projections_exact():
                                    atol=2e-5)
 
 
-def test_out_proj_slice_matches_padded():
-    """MAGICDRIVE_OUT_PROJ=slice (cut padded heads back to dim_head before
-    to_out) must equal the padded contraction exactly — the padded lanes
-    are zeros against zero weight rows, so dropping them removes only
-    exact-zero terms from the fp32 accumulation."""
-    from magicdrive_tpu.core import attention as attn_mod
-
-    attn = Attention(64, heads=4, dim_head=16, dtype=jnp.float32)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 64))
-    params = attn.init(jax.random.PRNGKey(1), x)
-
-    def padded_out(mdl, x):
-        q = mdl.project_q(x, 128)
-        k, v = mdl.project_kv(x, 128)
-        o = dot_product_attention(q, k, v, scale=mdl.scale, backend="xla")
-        return mdl.project_out(o, n_summed=1)
-
-    old = attn_mod._OUT_PROJ
-    try:
-        attn_mod._OUT_PROJ = "padded"
-        want = attn.apply(params, x, method=padded_out)
-        attn_mod._OUT_PROJ = "slice"
-        got = attn.apply(params, x, method=padded_out)
-    finally:
-        attn_mod._OUT_PROJ = old
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
-
-
 def test_fused_qkv_projection_exact():
     """project_qkv (one concatenated-kernel matmul) must equal the three
     separate projections bit-for-bit, padded and unpadded."""

@@ -117,22 +117,17 @@ CONFIGS = {
     "HG2": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                 min_logits=90_000, upsample="subpixel", cv_pair="pair",
                 kv_headgroup=2),
-    # HG2 compositions (HG2 measured -11.5 ms/step vs Y)
+    # HG2 compositions (HG2 measured -11.5 ms/step vs Y; it is now the
+    # shipped default — GX below is the gh=1 revert arm)
     "H2F": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                 min_logits=90_000, upsample="subpixel", cv_pair="pair",
                 kv_headgroup=2, ff_bm=2048),
-    "H2O": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
-                min_logits=90_000, upsample="subpixel", cv_pair="pair",
-                kv_headgroup=2, out_proj="slice"),
+    "GX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel", cv_pair="pair",
+               kv_headgroup=1),
     "HG4": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                 min_logits=90_000, upsample="subpixel", cv_pair="pair",
                 kv_headgroup=4),
-    # Y + sliced (unpadded) out-projections: cut the padded-head kernel
-    # output back to dim_head before to_out (drops the 3.2x padding FLOPs,
-    # pays a lane relayout)
-    "OS": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
-               min_logits=90_000, upsample="subpixel", cv_pair="pair",
-               out_proj="slice"),
     # Y + whole-FF kernel at a 2048-row block under the raised scoped-VMEM
     # limit (auto-sizing caps it at 512 under the 11 MiB budget)
     "FB": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
@@ -172,8 +167,7 @@ def set_knobs(cfg):
     import magicdrive_tpu.kernels.geglu as geglu_mod
 
     fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
-    fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 1)
-    attn_mod._OUT_PROJ = cfg.get("out_proj", "padded")
+    fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 2)
     geglu_mod._FF_BM = cfg.get("ff_bm", 0)
 
 
