@@ -158,6 +158,13 @@ _KV_SUBTILE = _env_int("MAGICDRIVE_KV_SUBTILE", 1)
 # gh=1 (one full-length q block per two heads), while gh=4 (196.3) and
 # gh=8 (212.3) give the DMA savings back to VMEM pressure.
 _KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 2)
+# A "small-shape escalation" (gh=8 for shapes whose full-bq working set is
+# tiny — level-1 self/pair, the level-0 text cross — while level-0 keeps
+# gh=2) was built and measured on chip in round 4e: 188.32 ms/step vs the
+# HG2 bracket 186.64/186.91 — the modeled x_q-refetch saving (~2 ms) does
+# NOT materialize at small Lk (the wider 8-head unrolled body costs more
+# pipelining room than the DMA it saves). Removed per measure-or-delete;
+# PERFORMANCE.md round 4e is the record.
 
 
 def _sub_ranges(bq: int):

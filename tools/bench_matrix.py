@@ -148,6 +148,10 @@ CONFIGS = {
                min_logits=90_000, upsample="subpixel", cv_pair="pair",
                skip_concat="concat"),
 }
+# A small-shape head-group escalation arm (SG8: level-1/-2 + level-0-text
+# kvstat kernels at gh=8, level-0 self/pair at gh=2) was measured round 4e
+# and REMOVED: 188.32 ms/step vs the HG2 bracket 186.64/186.91 — see
+# PERFORMANCE.md round 4e.
 
 
 def set_knobs(cfg):
