@@ -203,14 +203,10 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
-# Row-block override for the whole-FF kernel. 0 = auto (the conservative
-# _VMEM_BUDGET sizing below, bm=512 at the flagship level-0). A larger
-# explicit bm raises the per-kernel Mosaic scoped-VMEM limit the same way
-# the head-grouped attention kernels do (fused_attention._group_compiler
-# _params) — v5e has 128 MiB physical VMEM vs the 16 MiB default limit.
-_FF_BM = _env_int("MAGICDRIVE_FF_BM", 0)
-
-
+# NOTE: a row-block override knob (MAGICDRIVE_FF_BM, round 4d's FB arm:
+# bm=2048 under a raised scoped-VMEM limit) was measured a wash on chip
+# (197.48 ms vs the Y default, PERFORMANCE.md round 4d) and REMOVED in
+# round 5 per the measure-or-delete discipline; auto-sizing below stands.
 def _ff_vmem_estimate(bm: int, K: int, N: int, C: int, esize: int) -> int:
     """Pessimistic working set of one whole-FF grid step: double-buffered
     x/out blocks, resident weights, both fp32 halves plus the gated cast."""
@@ -353,12 +349,7 @@ def fused_ff(
     bv = bg = None
     if bias1 is not None:
         bv, bg = bias1[:N], bias1[N:]
-    if _FF_BM > 0:
-        bm = min(_FF_BM, _ceil_to(M, 8))
-        if _ff_vmem_estimate(bm, K, N, C, x.dtype.itemsize) > (112 << 20):
-            bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
-    else:
-        bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
+    bm = _ff_block_m(M, K, N, C, x.dtype.itemsize)
     assert bm is not None, "caller must check ff_full_fusion_fits"
     y = _ff_core(x.reshape(M, K), wv, wg, bv, bg, kernel2, bm, interpret)
     return y.reshape(*lead, C)

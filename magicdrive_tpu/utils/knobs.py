@@ -41,15 +41,8 @@ def perf_knob_snapshot() -> Dict[str, object]:
         "cv_gather": tfm._CV_GATHER,
         "kv_subtile": fa._KV_SUBTILE,
         "kv_headgroup": fa._KV_HEADGROUP,
-        "ff_bm": _ff_bm(),
         "pair_bwd": os.environ.get("MAGICDRIVE_PAIR_BWD", "free"),
     }
-
-
-def _ff_bm() -> int:
-    from magicdrive_tpu.kernels import geglu
-
-    return geglu._FF_BM
 
 
 def warn_on_knob_mismatch(saved: Dict[str, object]) -> Dict[str, tuple]:

@@ -119,24 +119,12 @@ CONFIGS = {
                 kv_headgroup=2),
     # HG2 compositions (HG2 measured -11.5 ms/step vs Y; it is now the
     # shipped default — GX below is the gh=1 revert arm)
-    "H2F": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
-                min_logits=90_000, upsample="subpixel", cv_pair="pair",
-                kv_headgroup=2, ff_bm=2048),
     "GX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                min_logits=90_000, upsample="subpixel", cv_pair="pair",
                kv_headgroup=1),
     "HG4": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                 min_logits=90_000, upsample="subpixel", cv_pair="pair",
                 kv_headgroup=4),
-    # Y + whole-FF kernel at a 2048-row block under the raised scoped-VMEM
-    # limit (auto-sizing caps it at 512 under the 11 MiB budget)
-    "FB": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
-               min_logits=90_000, upsample="subpixel", cv_pair="pair",
-               ff_bm=2048),
-    # HG + FB composed
-    "HF": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
-               min_logits=90_000, upsample="subpixel", cv_pair="pair",
-               kv_headgroup=8, ff_bm=2048),
     # Y + rolled-copy cross-view gathers (round 4: the in-grid kv index-map
     # permutation is the new default; RX is the revert arm)
     "RX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
@@ -148,10 +136,15 @@ CONFIGS = {
                min_logits=90_000, upsample="subpixel", cv_pair="pair",
                skip_concat="concat"),
 }
-# A small-shape head-group escalation arm (SG8: level-1/-2 + level-0-text
-# kvstat kernels at gh=8, level-0 self/pair at gh=2) was measured round 4e
-# and REMOVED: 188.32 ms/step vs the HG2 bracket 186.64/186.91 — see
-# PERFORMANCE.md round 4e.
+# Arms measured and REMOVED (measure-or-delete; results in PERFORMANCE.md):
+# - SG8 (round 4e): small-shape head-group escalation — level-1 self/pair +
+#   level-0-text kvstat kernels at gh=8, level-0 self/pair at gh=2 (level-2
+#   attns never reach kvstat; min_logits routes them to the XLA dot path).
+#   188.32 ms/step vs the HG2 bracket 186.64/186.91.
+# - FB / HF / H2F (round 4d): whole-FF kernel at an explicit 2048-row block
+#   under a raised scoped-VMEM limit (MAGICDRIVE_FF_BM), alone and composed
+#   with gh=8/gh=2. FB measured a wash (197.48 ms vs Y); the knob itself was
+#   deleted from kernels/geglu.py in round 5 (VERDICT r4 weak #7).
 
 
 def set_knobs(cfg):
@@ -168,11 +161,8 @@ def set_knobs(cfg):
     attn_mod._FUSED_MODE = cfg.get("mode", "auto")
     attn_mod._AUTO_PALLAS_MIN_LOGITS = cfg.get("min_logits", 512 * 512)
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
-    import magicdrive_tpu.kernels.geglu as geglu_mod
-
     fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
     fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 2)
-    geglu_mod._FF_BM = cfg.get("ff_bm", 0)
 
 
 def fetch(tree):
