@@ -82,6 +82,15 @@ _CV_PAIR = _os.environ.get("MAGICDRIVE_CV_PAIR", "pair")
 # landed unmeasured during a round-2 tunnel outage).
 _QKV_PROJ = _os.environ.get("MAGICDRIVE_QKV_PROJ", "fused")
 
+# VMEM-side head pack on the kv-stationary kernels' OUTPUT write: each
+# head's (bq, 128) fp32 block is sliced to dim_head (40) lanes inside the
+# kernel, so the padded o tensor never reaches HBM (3.2x less o traffic)
+# and ``to_out`` contracts the LOGICAL depth with no zero-row-padded
+# weights (the 0.37-vs-0.12 ms padded out-projections, round-4 profile).
+# This is the VMEM-side variant of round 4d's removed OS arm, which paid
+# an XLA/HBM lane relayout for the same slice and measured worse.
+_KV_OUTPACK = _os.environ.get("MAGICDRIVE_KV_OUTPACK", "0") == "1"
+
 
 def tag_attn_out(x):
     """checkpoint_name tag consumed by the UNet's selective remat policy
@@ -350,8 +359,10 @@ class Attention(nn.Module):
         d = _LANE if self.dim_head % _LANE else self.dim_head
         wq, wk, wv = self.qkv_weights(d)
         if mode == "kvstat":
-            o = fused_kvstat_attention(x, context, wq, wk, wv,
-                                       heads=self.heads, scale=self.scale)
+            o = fused_kvstat_attention(
+                x, context, wq, wk, wv, heads=self.heads, scale=self.scale,
+                d_out=self.dim_head if _KV_OUTPACK and d != self.dim_head
+                else None)
             return tag_attn_out(self.project_out(o))
         out = fused_qkv_out_attention(x, context, wq, wk, wv,
                                       self.to_out.padded_kernel(d),

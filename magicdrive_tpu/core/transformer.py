@@ -329,7 +329,10 @@ class BasicTransformerBlock(nn.Module):
                 if use_kv_pair:
                     o = fused_kvstat_attention_pair(
                         flat, xkv1, xkv2, wq, wk, wv,
-                        heads=self.n_heads, scale=scale, shifts=shifts)
+                        heads=self.n_heads, scale=scale, shifts=shifts,
+                        d_out=self.d_head
+                        if _attn_mod._KV_OUTPACK and d != self.d_head
+                        else None)
                     acc = attn4.project_out(o, n_summed=n_nb)
                 else:
                     acc = fused_qkv_out_attention_pair(
@@ -353,9 +356,12 @@ class BasicTransformerBlock(nn.Module):
                     if fused_mode == "kvstat":
                         # per-head outputs in the padded layout; summed
                         # across neighbors BEFORE the single out-projection
-                        o = fused_kvstat_attention(flat, xkv, wq, wk, wv,
-                                                   heads=self.n_heads,
-                                                   scale=scale)
+                        o = fused_kvstat_attention(
+                            flat, xkv, wq, wk, wv, heads=self.n_heads,
+                            scale=scale,
+                            d_out=self.d_head
+                            if _attn_mod._KV_OUTPACK and d != self.d_head
+                            else None)
                     else:
                         o = fused_qkv_out_attention(flat, xkv, wq, wk, wv,
                                                     wo, heads=self.n_heads,

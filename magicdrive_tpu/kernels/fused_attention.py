@@ -178,7 +178,8 @@ def _sub_ranges(bq: int):
 
 
 def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
-                         k_scr, v_scr, *, scale: float, out_dtype):
+                         k_scr, v_scr, *, scale: float, out_dtype,
+                         d_out: Optional[int] = None):
     """KV-stationary variant: grid (B, H, nq) with the q-block axis
     innermost, so k/v for the current (batch, head) are projected ONCE into
     VMEM scratch (at q-block 0) and stay resident across all nq q-blocks —
@@ -214,6 +215,8 @@ def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(xq.dtype), v_scr[...],
                         preferred_element_type=jnp.float32) / l
+        if d_out is not None and d_out < o.shape[-1]:
+            o = o[:, :d_out]  # VMEM-side head pack (drop the lane padding)
         o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
@@ -232,10 +235,14 @@ def _project_kv_into(xkv_ref, wk_ref, wv_ref, k_scr, v_scr):
         v_scr[pl.dslice(start, size), :] = v.astype(v_scr.dtype)
 
 
-def _group_attend(q, k_scr, v_scr, gh: int, d_pad: int, out_dtype):
+def _group_attend(q, k_scr, v_scr, gh: int, d_pad: int, out_dtype,
+                  d_out: Optional[int] = None):
     """Per-head softmax attention of a group-projected q (bq, gh*d_pad)
     against resident group k/v scratch; returns the (bq, gh*d_pad)
-    head-lane-blocked output."""
+    head-lane-blocked output — or (bq, gh*d_out) with each head's lane
+    padding dropped IN VMEM when ``d_out`` < d_pad (the head-pack output:
+    downstream ``to_out`` then contracts the logical depth with no
+    zero-row-padded weights and the padded o never reaches HBM)."""
     outs = []
     for hh in range(gh):
         sl = slice(hh * d_pad, (hh + 1) * d_pad)
@@ -247,13 +254,16 @@ def _group_attend(q, k_scr, v_scr, gh: int, d_pad: int, out_dtype):
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(q.dtype), v_scr[:, sl],
                         preferred_element_type=jnp.float32) / l
+        if d_out is not None and d_out < d_pad:
+            o = o[:, :d_out]
         outs.append(o.astype(out_dtype))
     return outs[0] if gh == 1 else jnp.concatenate(outs, axis=1)
 
 
 def _fused_kvstat_group_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref,
                                o_ref, k_scr, v_scr, *, scale: float,
-                               gh: int, d_pad: int, out_dtype):
+                               gh: int, d_pad: int, out_dtype,
+                               d_out: Optional[int] = None):
     """Head-grouped kv-stationary kernel: grid (B, H/gh, nq) with gh heads'
     k/v resident per group — one x_q fetch serves gh heads (the (B, H, nq)
     grid re-DMAs it per head) and the q/k/v projections run as single
@@ -269,13 +279,15 @@ def _fused_kvstat_group_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref,
     q = jax.lax.dot(xq, wq_ref[...],
                     preferred_element_type=jnp.float32)  # (bq, gh*Dp)
     q = (q * scale).astype(xq.dtype)
-    o_ref[0] = _group_attend(q, k_scr, v_scr, gh, d_pad, out_dtype)
+    o_ref[0] = _group_attend(q, k_scr, v_scr, gh, d_pad, out_dtype,
+                             d_out=d_out)
 
 
 def _fused_kvstat_pair_group_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref,
                                     wk_ref, wv_ref, o_ref, k1_scr, v1_scr,
                                     k2_scr, v2_scr, *, scale: float,
-                                    gh: int, d_pad: int, out_dtype):
+                                    gh: int, d_pad: int, out_dtype,
+                                    d_out: Optional[int] = None):
     """Head-grouped paired-neighbor kv-stationary kernel (see
     :func:`_fused_kvstat_pair_kernel` for the pair semantics and
     :func:`_fused_kvstat_group_kernel` for the grouping)."""
@@ -290,8 +302,10 @@ def _fused_kvstat_pair_group_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref,
     q = jax.lax.dot(xq, wq_ref[...],
                     preferred_element_type=jnp.float32)
     q = (q * scale).astype(xq.dtype)
-    o1 = _group_attend(q, k1_scr, v1_scr, gh, d_pad, jnp.float32)
-    o2 = _group_attend(q, k2_scr, v2_scr, gh, d_pad, jnp.float32)
+    o1 = _group_attend(q, k1_scr, v1_scr, gh, d_pad, jnp.float32,
+                       d_out=d_out)
+    o2 = _group_attend(q, k2_scr, v2_scr, gh, d_pad, jnp.float32,
+                       d_out=d_out)
     o_ref[0] = (o1 + o2).astype(out_dtype)
 
 
@@ -411,7 +425,8 @@ def kvstat_pair_fits(Lq: int, Lk: int, C: int, dim_head: int,
 
 def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
                               wv_ref, o_ref, k1_scr, v1_scr, k2_scr, v2_scr,
-                              *, scale: float, out_dtype):
+                              *, scale: float, out_dtype,
+                              d_out: Optional[int] = None):
     """Paired-neighbor kv-stationary kernel: both neighbors' k/v projected
     once per (batch, head) into scratch, each q block projected once and
     attended against both, the SUM of the two per-head outputs written —
@@ -448,6 +463,8 @@ def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
                         preferred_element_type=jnp.float32)
         q = (q * scale).astype(xq.dtype)
         o = attend(q, k1_scr, v1_scr) + attend(q, k2_scr, v2_scr)
+        if d_out is not None and d_out < o.shape[-1]:
+            o = o[:, :d_out]  # VMEM-side head pack
         o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
@@ -669,7 +686,8 @@ def _fused_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
 
 
 def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
-                     bq: Optional[int] = None):
+                     bq: Optional[int] = None,
+                     d_out: Optional[int] = None):
     from jax.experimental.pallas import tpu as pltpu
 
     B, Lq, C = x_q.shape
@@ -680,16 +698,18 @@ def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
                                x_q.dtype.itemsize)
         assert bq is not None, "caller must check kvstat_is_efficient"
     nq = pl.cdiv(Lq, bq)
+    do = d_out or d_pad
 
     extra = {}
     if gh > 1:
         kernel = functools.partial(_fused_kvstat_group_kernel, scale=scale,
-                                   gh=gh, d_pad=d_pad, out_dtype=x_q.dtype)
+                                   gh=gh, d_pad=d_pad, out_dtype=x_q.dtype,
+                                   d_out=d_out)
         extra["compiler_params"] = _group_compiler_params(
             Lk, max(C, Ck), d_pad, x_q.dtype.itemsize, 1, gh, bq)
     else:
         kernel = functools.partial(_fused_kvstat_kernel, scale=scale,
-                                   out_dtype=x_q.dtype)
+                                   out_dtype=x_q.dtype, d_out=d_out)
     gd = gh * d_pad
     return pl.pallas_call(
         kernel,
@@ -702,15 +722,15 @@ def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, bq, gd), lambda b, h, i: (b, i, h)),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
+        out_specs=pl.BlockSpec((1, bq, gh * do), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * do), x_q.dtype),
         scratch_shapes=[pltpu.VMEM((Lk, gd), x_q.dtype),
                         pltpu.VMEM((Lk, gd), x_q.dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * (Lq * C + 2 * Lk * Ck) * d_pad
             + 4 * B * heads * Lq * Lk * d_pad,
-            bytes_accessed=2 * B * (Lk * Ck + Lq * C + Lq * heads * d_pad),
+            bytes_accessed=2 * B * (Lk * Ck + Lq * C + Lq * heads * do),
             transcendentals=B * heads * Lq * Lk,
         ),
     )(x_q, x_kv, wq, wk, wv)
@@ -753,7 +773,14 @@ def _fused_bwd(scale, heads, d_pad, interpret, res, dy):
     bq, bk = _pick_block(Lq, bq), _pick_block(Lk, bk)
     o, lse = _flash_fwd(qs, k, v, 1.0, Lk, bq, bk, interpret, with_lse=True)
 
-    dy_bh = to_bh(dy.reshape(B, Lq, heads, d_pad), Lq)
+    # dy may arrive in the head-packed layout (heads * d_out < heads *
+    # d_pad, the kvstat d_out path): re-pad each head's lanes with zeros —
+    # the padded q/k/v lanes carry zeros, so their cotangents are zero.
+    d_in = dy.shape[-1] // heads
+    dy4 = dy.reshape(B, Lq, heads, d_in)
+    if d_in < d_pad:
+        dy4 = jnp.pad(dy4, ((0, 0), (0, 0), (0, 0), (0, d_pad - d_in)))
+    dy_bh = to_bh(dy4, Lq)
     dq_s, dk, dv = _flash_bwd(qs, k, v, o, lse, dy_bh, 1.0, Lk, bq, bk,
                               interpret)
     dq = (dq_s.astype(jnp.float32) * scale).astype(q.dtype)
@@ -779,27 +806,33 @@ def _fused_bwd(scale, heads, d_pad, interpret, res, dy):
 _fused_core.defvjp(_fused_fwd, _fused_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _fused_kvstat_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
-                       interpret):
+                       interpret, d_out=None):
     return _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
-                            interpret)
+                            interpret, d_out=d_out)
 
 
-def _fused_kvstat_fwd(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret):
+def _fused_kvstat_fwd(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
+                      d_out=None):
     y = _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
-                         interpret)
+                         interpret, d_out=d_out)
     return y, (x_q, x_kv, wq, wk, wv)
 
 
 # the backward recomputes q/k/v with XLA matmuls and reuses the flash
-# fwd(+lse)/bwd pair — identical output layout, so the (B, nq, H) kernel's
-# backward serves the kv-stationary forward unchanged.
-_fused_kvstat_core.defvjp(_fused_kvstat_fwd, _fused_bwd)
+# fwd(+lse)/bwd pair — identical output layout (modulo the optional d_out
+# head-pack, which _fused_bwd re-pads from dy's own shape), so the
+# (B, nq, H) kernel's backward serves the kv-stationary forward unchanged.
+def _fused_kvstat_bwd(scale, heads, d_pad, interpret, d_out, res, dy):
+    return _fused_bwd(scale, heads, d_pad, interpret, res, dy)
+
+
+_fused_kvstat_core.defvjp(_fused_kvstat_fwd, _fused_kvstat_bwd)
 
 
 def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
-                          d_pad, interpret, shifts=None):
+                          d_pad, interpret, shifts=None, d_out=None):
     from jax.experimental.pallas import tpu as pltpu
 
     B, Lq, C = x_q.shape
@@ -808,6 +841,7 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
                            x_q.dtype.itemsize, n_kv=2)
     assert bq is not None, "caller must check kvstat_pair_fits"
     nq = pl.cdiv(Lq, bq)
+    do = d_out or d_pad
 
     sh1, sh2 = ((shifts[0], shifts[2]), (shifts[1], shifts[2])) \
         if shifts else (None, None)
@@ -815,12 +849,12 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
     if gh > 1:
         kernel = functools.partial(_fused_kvstat_pair_group_kernel,
                                    scale=scale, gh=gh, d_pad=d_pad,
-                                   out_dtype=x_q.dtype)
+                                   out_dtype=x_q.dtype, d_out=d_out)
         extra["compiler_params"] = _group_compiler_params(
             Lk, max(C, Ck), d_pad, x_q.dtype.itemsize, 2, gh, bq)
     else:
         kernel = functools.partial(_fused_kvstat_pair_kernel, scale=scale,
-                                   out_dtype=x_q.dtype)
+                                   out_dtype=x_q.dtype, d_out=d_out)
     gd = gh * d_pad
     scr = lambda: pltpu.VMEM((Lk, gd), x_q.dtype)
     return pl.pallas_call(
@@ -835,31 +869,31 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, bq, gd), lambda b, h, i: (b, i, h)),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype),
+        out_specs=pl.BlockSpec((1, bq, gh * do), lambda b, h, i: (b, i, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * do), x_q.dtype),
         scratch_shapes=[scr(), scr(), scr(), scr()],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * heads * (Lq * C + 4 * Lk * Ck) * d_pad
             + 8 * B * heads * Lq * Lk * d_pad,
             bytes_accessed=2 * B * (2 * Lk * Ck + Lq * C
-                                    + Lq * heads * d_pad),
+                                    + Lq * heads * do),
             transcendentals=2 * B * heads * Lq * Lk,
         ),
     )(x_q, x_kv1, x_kv2, wq, wk, wv)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
-                      interpret, shifts):
+                      interpret, shifts, d_out=None):
     return _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale,
-                                 heads, d_pad, interpret, shifts)
+                                 heads, d_pad, interpret, shifts, d_out)
 
 
 def _kvstat_pair_fwd(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads, d_pad,
-                     interpret, shifts):
+                     interpret, shifts, d_out=None):
     y = _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
-                              d_pad, interpret, shifts)
+                              d_pad, interpret, shifts, d_out)
     return y, (x_q, x_kv1, x_kv2, wq, wk, wv)
 
 
@@ -891,8 +925,15 @@ def _sum_pair_grads(branch, args1, args2, dy):
         a + b for a, b in zip(g1[2:], g2[2:]))
 
 
-def _kvstat_pair_bwd(scale, heads, d_pad, interpret, shifts, res, dy):
+def _kvstat_pair_bwd(scale, heads, d_pad, interpret, shifts, d_out, res, dy):
     x_q, x_kv1, x_kv2, wq, wk, wv = res
+    if d_out is not None and d_out < d_pad:
+        # re-pad the head-packed cotangent to the branch kernels' padded
+        # layout (zero lanes ⇒ zero cotangents there)
+        B, Lq = dy.shape[0], dy.shape[1]
+        dy = jnp.pad(dy.reshape(B, Lq, heads, d_out),
+                     ((0, 0), (0, 0), (0, 0), (0, d_pad - d_out))
+                     ).reshape(B, Lq, heads * d_pad)
     if shifts is not None:
         # in-grid shift mode: the rolled copies exist only here in the
         # backward; cotangents return through the inverse permutation
@@ -925,6 +966,7 @@ def fused_kvstat_attention_pair(
     scale: float,
     interpret: Optional[bool] = None,
     shifts: Optional[tuple] = None,
+    d_out: Optional[int] = None,
 ) -> jnp.ndarray:
     """SUM of two kv-stationary attention branches sharing q (cross-view
     "add"-mode pair) in one kernel. Returns (B, Lq, H, Dp) in the padded-
@@ -932,14 +974,17 @@ def fused_kvstat_attention_pair(
 
     shifts=(s1, s2, n_views): x_kv1/x_kv2 are the UNROLLED hidden states
     (typically x_q itself) and each branch reads view (v + s) % n_views
-    via the kv BlockSpec index map — no rolled HBM copies."""
+    via the kv BlockSpec index map — no rolled HBM copies.
+
+    d_out: write each head's output at this LOGICAL depth (< the padded
+    d_pad) — the VMEM-side head pack; returns (B, Lq, H, d_out)."""
     if interpret is None:
         interpret = _interpret_default()
     d_pad = wq.shape[1] // heads
     B, Lq, _ = x_q.shape
     out = _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
-                            d_pad, interpret, shifts)
-    return out.reshape(B, Lq, heads, d_pad)
+                            d_pad, interpret, shifts, d_out)
+    return out.reshape(B, Lq, heads, d_out or d_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -1007,20 +1052,23 @@ def fused_kvstat_attention(
     heads: int,
     scale: float,
     interpret: Optional[bool] = None,
+    d_out: Optional[int] = None,
 ) -> jnp.ndarray:
     """Projection-fused attention with VMEM-resident k/v (one projection
     per (batch, head) regardless of the q-block count) — the fused path for
     shapes where nq > 2 makes the recomputing kernel uneconomical.
 
     Same contract as :func:`fused_qkv_attention`: returns (B, Lq, H, Dp) in
-    the padded-head layout ``Attention.project_out`` consumes."""
+    the padded-head layout ``Attention.project_out`` consumes — or
+    (B, Lq, H, d_out) with the lane padding dropped in VMEM when ``d_out``
+    (= dim_head) is given, so ``to_out`` runs unpadded."""
     if interpret is None:
         interpret = _interpret_default()
     d_pad = wq.shape[1] // heads
     B, Lq, _ = x_q.shape
     out = _fused_kvstat_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
-                             interpret)
-    return out.reshape(B, Lq, heads, d_pad)
+                             interpret, d_out)
+    return out.reshape(B, Lq, heads, d_out or d_pad)
 
 
 def fused_qkv_out_attention(

@@ -48,16 +48,24 @@ def batch_sharding(mesh: Mesh, with_view: bool = False) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, n_cam: Optional[int] = None) -> dict:
     """Place a host batch onto the mesh, sample-sharded over dp.
 
     Tensors with a leading batch axis get P("dp"); the singleton
-    ``uncond_ids`` is replicated.
+    ``uncond_ids`` is replicated. When ``n_cam`` is given and the mesh has a
+    non-trivial ``view`` axis, tensors whose second axis is the camera axis
+    are additionally view-sharded P("dp", "view") — the inference analogue of
+    the dp×view training placement (the ring-permute cross-view path,
+    docs/sharding.md).
     """
+    view = ("view" in mesh.axis_names and mesh.shape["view"] > 1
+            and n_cam is not None)
     out = {}
     for k, v in batch.items():
         if k == "uncond_ids" or getattr(v, "ndim", 0) == 0:
             out[k] = jax.device_put(v, replicated(mesh))
+        elif view and v.ndim >= 2 and v.shape[1] == n_cam:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P("dp", "view")))
         else:
             out[k] = jax.device_put(v, NamedSharding(mesh, P("dp")))
     return out

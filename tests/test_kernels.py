@@ -658,3 +658,79 @@ def test_cross_view_gather_knob_matches_roll():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
                                atol=3e-5)
+
+
+def test_kvstat_outpack_matches_padded():
+    """d_out head-pack: the packed (B, L, H, D) output must equal the
+    padded path's valid lanes — values AND grads (the bwd re-pads dy) —
+    for the single, grouped (gh>1), and pair kernels."""
+    import jax
+
+    import magicdrive_tpu.kernels.fused_attention as fa
+    from magicdrive_tpu.kernels.fused_attention import (
+        fused_kvstat_attention, fused_kvstat_attention_pair)
+
+    rng = np.random.default_rng(11)
+    B, L, C, H, D, DP = 2, 48, 32, 4, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    kv1 = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    kv2 = jnp.asarray(rng.normal(size=(B, L, C)).astype(np.float32))
+    ws = [jnp.asarray((rng.normal(size=(C, H, D)) * 0.1).astype(np.float32))
+          for _ in range(3)]
+    wpad = [jnp.pad(w, ((0, 0), (0, 0), (0, DP - D))).reshape(C, H * DP)
+            for w in ws]
+    scale = D ** -0.5
+
+    for gh in (1, 2):
+        old = fa._KV_HEADGROUP
+        try:
+            fa._KV_HEADGROUP = gh
+            want = fused_kvstat_attention(x, x, *wpad, heads=H, scale=scale,
+                                          interpret=True)
+            got = fused_kvstat_attention(x, x, *wpad, heads=H, scale=scale,
+                                         interpret=True, d_out=D)
+            assert got.shape == (B, L, H, D)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(want[..., :D]), atol=2e-6)
+
+            wantp = fused_kvstat_attention_pair(
+                x, kv1, kv2, *wpad, heads=H, scale=scale, interpret=True)
+            gotp = fused_kvstat_attention_pair(
+                x, kv1, kv2, *wpad, heads=H, scale=scale, interpret=True,
+                d_out=D)
+            assert gotp.shape == (B, L, H, D)
+            np.testing.assert_allclose(np.asarray(gotp),
+                                       np.asarray(wantp[..., :D]), atol=2e-6)
+        finally:
+            fa._KV_HEADGROUP = old
+
+    # gradients: packed path == padded path (projected through a dummy
+    # out-weight so dy exercises the re-pad)
+    wo = jnp.asarray(rng.normal(size=(H * D, C)).astype(np.float32) * 0.1)
+
+    def loss_packed(x_):
+        o = fused_kvstat_attention(x_, x_, *wpad, heads=H, scale=scale,
+                                   interpret=True, d_out=D)
+        return jnp.sum((o.reshape(B, L, H * D) @ wo) ** 2)
+
+    def loss_padded(x_):
+        o = fused_kvstat_attention(x_, x_, *wpad, heads=H, scale=scale,
+                                   interpret=True)
+        return jnp.sum((o[..., :D].reshape(B, L, H * D) @ wo) ** 2)
+
+    g1 = jax.grad(loss_packed)(x)
+    g2 = jax.grad(loss_padded)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_pair(x_, packed):
+        o = fused_kvstat_attention_pair(x_, kv1, kv2, *wpad, heads=H,
+                                        scale=scale, interpret=True,
+                                        d_out=D if packed else None)
+        o = o[..., :D]
+        return jnp.sum((o.reshape(B, L, H * D) @ wo) ** 2)
+
+    gp1 = jax.grad(lambda x_: loss_pair(x_, True))(x)
+    gp2 = jax.grad(lambda x_: loss_pair(x_, False))(x)
+    np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2),
+                               atol=1e-4, rtol=1e-4)

@@ -125,6 +125,11 @@ CONFIGS = {
     "HG4": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                 min_logits=90_000, upsample="subpixel", cv_pair="pair",
                 kv_headgroup=4),
+    # HG2 + VMEM-side head-packed kvstat outputs (to_out runs UNPADDED;
+    # round-5 take on the r4d OS arm, relayout moved from HBM to VMEM)
+    "OP": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel", cv_pair="pair",
+               kv_headgroup=2, kv_outpack=True),
     # Y + rolled-copy cross-view gathers (round 4: the in-grid kv index-map
     # permutation is the new default; RX is the revert arm)
     "RX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
@@ -163,6 +168,7 @@ def set_knobs(cfg):
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
     fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
     fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 2)
+    attn_mod._KV_OUTPACK = cfg.get("kv_outpack", False)
 
 
 def fetch(tree):
