@@ -14,8 +14,6 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
-from magicdrive_tpu.kernels.conv3x3 import conv3x3_tc, conv3x3_tc_fits
-
 
 # Trace-time GroupNorm formulation knob (same params, same math, different
 # XLA graph): "channel" = per-channel sum/sumsq then (C,)->(G,) combine;
@@ -61,13 +59,10 @@ UPSAMPLE_IMPL = os.environ.get("MAGICDRIVE_UPSAMPLE_IMPL", "subpixel")
 # full-width tensor TWICE (~3.1 GB/step at the B=4 flagship, round-4 HLO
 # census). "concat" materializes the concat (torch/diffusers graph shape).
 SKIP_CONCAT = os.environ.get("MAGICDRIVE_SKIP_CONCAT", "split")
-
-# 3x3-conv implementation: "xla" (default) lowers conv_general_dilated;
-# "tc" routes eligible rows (3x3 SAME, bf16, N=320/640 out channels where
-# XLA's lane padding caps it at ~150 GFLOP/s — round-4/5 profiles) to the
-# transposed implicit-GEMM pallas kernel (kernels/conv3x3.py) WITH the
-# preceding GroupNorm apply + SiLU and the temb add fused in.
-CONV_IMPL = os.environ.get("MAGICDRIVE_CONV_IMPL", "xla")
+# (A transposed implicit-GEMM pallas conv with fused GroupNorm-apply+SiLU
+# was built round 5, measured WORSE than XLA's conv on every target row,
+# and removed per measure-or-delete — PERFORMANCE.md round 5b is the
+# record; the kernel lives at the commit preceding its removal.)
 
 
 class GroupNorm(nn.Module):
@@ -83,12 +78,7 @@ class GroupNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, return_vectors: bool = False):
-        """Normal call applies the norm. ``return_vectors=True`` instead
-        returns the per-(sample, channel) fp32 affine ``(mul, add)`` with
-        y = x * mul + add — the operands the fused GroupNorm+SiLU+conv
-        kernel (kernels/conv3x3.py) consumes; the stats math is identical
-        (channel formulation)."""
+    def __call__(self, x):
         parts = tuple(x) if isinstance(x, (tuple, list)) else None
         c = (sum(p.shape[-1] for p in parts) if parts is not None
              else x.shape[-1])
@@ -117,8 +107,6 @@ class GroupNorm(nn.Module):
             rstd = jax.lax.rsqrt(gm2 - gm * gm + self.epsilon)
             mul = jnp.repeat(rstd, c // g, axis=1) * scale
             add = bias - jnp.repeat(gm * rstd, c // g, axis=1) * scale
-            if return_vectors:
-                return mul, add
             outs, off = [], 0
             for p, q in zip(parts, p32):
                 ci = p.shape[-1]
@@ -134,14 +122,10 @@ class GroupNorm(nn.Module):
                                  + a.reshape(shape)).astype(self.dtype))
             return tuple(outs)
         if NORM_IDENTITY:
-            if return_vectors:
-                b = x.shape[0]
-                return (jnp.ones((b, c), jnp.float32),
-                        jnp.zeros((b, c), jnp.float32))
             return x.astype(self.dtype)
 
         x32 = x.astype(jnp.float32)
-        if GN_IMPL == "grouped" and not return_vectors:
+        if GN_IMPL == "grouped":
             shp = x.shape
             xg = x32.reshape(shp[0], -1, g, c // g)
             gm = xg.mean(axis=(1, 3), keepdims=True)
@@ -158,8 +142,6 @@ class GroupNorm(nn.Module):
         rstd = jax.lax.rsqrt(gm2 - gm * gm + self.epsilon)
         mul = jnp.repeat(rstd, c // g, axis=1) * scale            # (B, C)
         add = bias - jnp.repeat(gm * rstd, c // g, axis=1) * scale
-        if return_vectors:
-            return mul, add
         shape = (x.shape[0],) + (1,) * len(red) + (c,)
         if NORM_APPLY == "compute" and self.dtype != jnp.float32:
             return (x.astype(self.dtype) * mul.astype(self.dtype).reshape(shape)
@@ -185,18 +167,6 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
 
-    def _use_tc(self, inputs) -> bool:
-        """Route this conv row to the fused transposed pallas kernel?"""
-        if CONV_IMPL != "tc" or self.dtype != jnp.bfloat16:
-            return False
-        from magicdrive_tpu.kernels.flash_attention import on_tpu_by_default
-
-        if not on_tpu_by_default():
-            return False
-        H, W = inputs[0].shape[1:3]
-        return conv3x3_tc_fits(H, W, [p.shape[-1] for p in inputs],
-                               self.out_channels)
-
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         """x: (B, H, W, C), or a tuple of (B, H, W, C_i) parts standing for
@@ -213,52 +183,25 @@ class ResnetBlock2D(nn.Module):
                 x = (parts[0] if len(parts) == 1
                      else jnp.concatenate(parts, axis=-1))
                 parts = None
-        if parts is None:
+        if parts is not None:
+            hs = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                           name="norm1")(parts)
+            hs = tuple(nn.silu(h) for h in hs)
+            h = Conv2DParams(in_channels, self.out_channels, 3,
+                             dtype=self.dtype, name="conv1").split_call(hs)
+        else:
             in_channels = x.shape[-1]
-        t = None
+            h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
+                          name="norm1")(x)
+            h = nn.silu(h)
+            h = conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
-                         param_dtype=jnp.float32,
-                         name="time_emb_proj")(nn.silu(temb))
-        inputs = parts if parts is not None else (x,)
-        if self._use_tc(inputs):
-            # fused GroupNorm-apply + SiLU + transposed implicit-GEMM conv
-            # (+ temb add) in one pallas kernel — the activation's extra
-            # HBM round trip and the lane-padded XLA conv both disappear
-            mul, add = GroupNorm(self.groups, self.eps, dtype=self.dtype,
-                                 name="norm1")(x, return_vectors=True)
-            cp1 = Conv2DParams(in_channels, self.out_channels, 3,
-                               dtype=self.dtype, name="conv1")
-            h = conv3x3_tc(list(inputs), cp1.kernel, cp1.bias, mul=mul,
-                           shift=add, silu=True, temb=t)
-        else:
-            if parts is not None:
-                hs = GroupNorm(self.groups, self.eps, dtype=self.dtype,
-                               name="norm1")(parts)
-                hs = tuple(nn.silu(hh) for hh in hs)
-                h = Conv2DParams(in_channels, self.out_channels, 3,
-                                 dtype=self.dtype,
-                                 name="conv1").split_call(hs)
-            else:
-                h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
-                              name="norm1")(x)
-                h = nn.silu(h)
-                h = conv(self.out_channels, dtype=self.dtype,
-                         name="conv1")(h)
-            if t is not None:
-                h = h + t[:, None, None, :]
-        if self._use_tc((h,)):
-            mul2, add2 = GroupNorm(self.groups, self.eps, dtype=self.dtype,
-                                   name="norm2")(h, return_vectors=True)
-            cp2 = Conv2DParams(self.out_channels, self.out_channels, 3,
-                               dtype=self.dtype, name="conv2")
-            h = conv3x3_tc([h], cp2.kernel, cp2.bias, mul=mul2, shift=add2,
-                           silu=True)
-        else:
-            h = GroupNorm(self.groups, self.eps, dtype=self.dtype,
-                          name="norm2")(h)
-            h = nn.silu(h)
-            h = conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+                         param_dtype=jnp.float32, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.groups, self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if parts is not None:
             x = Conv2DParams(in_channels, self.out_channels, 1,
                              dtype=self.dtype, name="conv_shortcut"

@@ -1,17 +1,20 @@
-"""Standalone chip A/B of the transposed implicit-GEMM conv kernel.
+"""Standalone chip A/B of UNet conv-row formulations (conv floor record).
 
 Times each target UNet conv row shape (the N=320 level-0 rows where XLA's
-conv measures 142-151 GFLOP/s vs a 164 lane-padding ceiling — round-4
-per-op profile) under four arms:
+conv measures 142-151 GFLOP/s in-graph — round-4 per-op profile) under:
 
-  xla     conv_general_dilated on the materialized concat (+bias +temb)
-  split   part-wise convs summed (the shipped SKIP_CONCAT=split path)
-  pallas  kernels/conv3x3.conv3x3_tc (transposed, per-tap dots)
-  fusedK  conv3x3_tc with the GroupNorm apply + SiLU fused into the kernel,
-          vs the same math as separate XLA ops in arm `xla-act`
+  xla      conv_general_dilated on the materialized concat (+bias +temb)
+  split    part-wise convs summed (the shipped SKIP_CONCAT=split path)
+  xla-act  GroupNorm-affine + SiLU + conv as separate XLA ops (shows XLA
+           fuses the activation into the conv: +0.04-0.16 ms only)
+  dot-probe  pure transposed (O, 9C) @ (9C, nimg*F) dot — the would-be
+           ceiling of a channels-on-sublanes implicit-GEMM formulation
+           (measured 3.9-5.5 GFLOP/s: pathological on the MXU)
 
-plus a pure-dot probe (O, 9C) @ (9C, 48*F) that measures the MXU rate the
-transposed formulation can reach at these dims (its ceiling).
+A pallas transposed implicit-GEMM kernel (+ fused GN/SiLU) was measured
+against these arms round 5 and REMOVED after losing on every row —
+PERFORMANCE.md round 5b is the record; the kernel is at the commit
+preceding its removal.
 
 Usage: python tools/bench_conv.py [--iters 20] [--rows all]
 """
@@ -33,6 +36,23 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/magicdrive_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def conv3x3_ref(parts, kernel, bias, *, temb=None, mul=None, shift=None,
+                silu=False):
+    """conv3x3 SAME on concat(parts) + bias (+temb), optional affine+SiLU."""
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    if mul is not None:
+        x = x * mul[:, None, None, :] + shift[:, None, None, :]
+    if silu:
+        x = jax.nn.silu(x)
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + bias.astype(x.dtype)
+    if temb is not None:
+        y = y + temb.astype(x.dtype)[:, None, None, :]
+    return y
 
 
 def fetch(x):
@@ -67,8 +87,6 @@ def main():
     ap.add_argument("--nimg", type=int, default=2)
     args = ap.parse_args()
 
-    from magicdrive_tpu.kernels.conv3x3 import conv3x3_ref, conv3x3_tc
-
     dtype = jnp.bfloat16
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind}", flush=True)
@@ -99,6 +117,7 @@ def main():
                   f"{rate:8.0f} GFLOP/s", flush=True)
 
         run("xla", lambda p=parts: conv3x3_ref(p, k, b, temb=temb))
+
         if len(cs) > 1:
             def split(p=parts):
                 y, off = None, 0
@@ -112,14 +131,9 @@ def main():
                     off += ci
                 return y + b.astype(dtype) + temb.astype(dtype)[:, None, None]
             run("split", split)
-        run("pallas", lambda p=parts: conv3x3_tc(
-            p, k, b, temb=temb, imgs_per_block=args.nimg))
-        # activation-inclusive arms: GroupNorm apply + SiLU before the conv
+        # activation-inclusive arm: GroupNorm apply + SiLU before the conv
         run("xla-act", lambda p=parts: conv3x3_ref(
             p, k, b, temb=temb, mul=mul, shift=shift, silu=True))
-        run("fusedK", lambda p=parts: conv3x3_tc(
-            p, k, b, temb=temb, mul=mul, shift=shift, silu=True,
-            imgs_per_block=args.nimg))
 
         # pure-dot ceiling probe at this row's transposed dims
         F = (H + 2) * (W + 2)
