@@ -84,12 +84,15 @@ _QKV_PROJ = _os.environ.get("MAGICDRIVE_QKV_PROJ", "fused")
 
 # VMEM-side head pack on the kv-stationary kernels' OUTPUT write: each
 # head's (bq, 128) fp32 block is sliced to dim_head (40) lanes inside the
-# kernel, so the padded o tensor never reaches HBM (3.2x less o traffic)
-# and ``to_out`` contracts the LOGICAL depth with no zero-row-padded
-# weights (the 0.37-vs-0.12 ms padded out-projections, round-4 profile).
-# This is the VMEM-side variant of round 4d's removed OS arm, which paid
-# an XLA/HBM lane relayout for the same slice and measured worse.
-_KV_OUTPACK = _os.environ.get("MAGICDRIVE_KV_OUTPACK", "0") == "1"
+# kernel and written GROUP-MAJOR (B, H/gh, Lq, gh*40), so the padded o
+# tensor never reaches HBM (3.2x less o traffic) and ``to_out`` runs as a
+# per-group einsum at LOGICAL depth with no zero-row-padded weights (the
+# 0.37-vs-0.12 ms padded out-projections, round-4 profile). This is the
+# VMEM-side variant of round 4d's removed OS arm, which paid an XLA/HBM
+# lane relayout for the same slice and measured worse. Default ON:
+# chip-measured 184.60 ms/step vs the Y bracket 186.92/186.67
+# (PERFORMANCE.md round 5d); revert arm OX in tools/bench_matrix.py.
+_KV_OUTPACK = _os.environ.get("MAGICDRIVE_KV_OUTPACK", "1") == "1"
 
 
 def tag_attn_out(x):
@@ -288,6 +291,20 @@ class _OutProj(nn.Module):
             y = y + n_summed * self.bias.astype(self.dtype)
         return y
 
+    def grouped(self, o, n_summed: int = 1):
+        """Out-projection of the kvstat head-PACKED group-major layout
+        (B, H/gh, L, gh*dim_head) — per-group contraction at LOGICAL depth
+        summed over groups, so neither the padded o tensor nor zero-row-
+        padded weights exist (the MAGICDRIVE_KV_OUTPACK path)."""
+        B, G, L, P = o.shape
+        h, hd = self.heads, self.dim_head
+        assert P * G == h * hd, (o.shape, h, hd)
+        w = self.kernel.astype(self.dtype).reshape(G, P, -1)
+        y = jnp.einsum("bglp,gpc->blc", o, w)
+        if self.bias is not None:
+            y = y + n_summed * self.bias.astype(self.dtype)
+        return y
+
 
 class Attention(nn.Module):
     """QKV-projected multi-head attention (diffusers ``Attention`` semantics).
@@ -359,10 +376,13 @@ class Attention(nn.Module):
         d = _LANE if self.dim_head % _LANE else self.dim_head
         wq, wk, wv = self.qkv_weights(d)
         if mode == "kvstat":
-            o = fused_kvstat_attention(
-                x, context, wq, wk, wv, heads=self.heads, scale=self.scale,
-                d_out=self.dim_head if _KV_OUTPACK and d != self.dim_head
-                else None)
+            if _KV_OUTPACK and d != self.dim_head:
+                o = fused_kvstat_attention(
+                    x, context, wq, wk, wv, heads=self.heads,
+                    scale=self.scale, d_out=self.dim_head)
+                return tag_attn_out(self.to_out.grouped(o))
+            o = fused_kvstat_attention(x, context, wq, wk, wv,
+                                       heads=self.heads, scale=self.scale)
             return tag_attn_out(self.project_out(o))
         out = fused_qkv_out_attention(x, context, wq, wk, wv,
                                       self.to_out.padded_kernel(d),

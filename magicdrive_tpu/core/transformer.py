@@ -327,13 +327,13 @@ class BasicTransformerBlock(nn.Module):
                         "b n l c -> (b n) l c") for nb in range(2))
                     shifts = None
                 if use_kv_pair:
+                    outpack = (_attn_mod._KV_OUTPACK and d != self.d_head)
                     o = fused_kvstat_attention_pair(
                         flat, xkv1, xkv2, wq, wk, wv,
                         heads=self.n_heads, scale=scale, shifts=shifts,
-                        d_out=self.d_head
-                        if _attn_mod._KV_OUTPACK and d != self.d_head
-                        else None)
-                    acc = attn4.project_out(o, n_summed=n_nb)
+                        d_out=self.d_head if outpack else None)
+                    acc = (attn4.to_out.grouped(o, n_summed=n_nb) if outpack
+                           else attn4.project_out(o, n_summed=n_nb))
                 else:
                     acc = fused_qkv_out_attention_pair(
                         flat, xkv1, xkv2, wq, wk, wv, wo,
@@ -345,6 +345,8 @@ class BasicTransformerBlock(nn.Module):
                 nbs = (range(n_nb) if self.neighboring_attn_type == "add"
                        else [None])
                 acc = None
+                outpack = (fused_mode == "kvstat" and _attn_mod._KV_OUTPACK
+                           and d != self.d_head)
                 for nb in nbs:
                     idx = ([p[nb] for p in np_pairs] if nb is not None
                            else [j for p in np_pairs for j in p])
@@ -354,21 +356,23 @@ class BasicTransformerBlock(nn.Module):
                            else rearrange(xkv, "b (n k) l c -> (b n) (k l) c",
                                           k=n_nb))
                     if fused_mode == "kvstat":
-                        # per-head outputs in the padded layout; summed
-                        # across neighbors BEFORE the single out-projection
+                        # per-head outputs (padded, or head-packed group-
+                        # major under outpack); summed across neighbors
+                        # BEFORE the single out-projection
                         o = fused_kvstat_attention(
                             flat, xkv, wq, wk, wv, heads=self.n_heads,
                             scale=scale,
-                            d_out=self.d_head
-                            if _attn_mod._KV_OUTPACK and d != self.d_head
-                            else None)
+                            d_out=self.d_head if outpack else None)
                     else:
                         o = fused_qkv_out_attention(flat, xkv, wq, wk, wv,
                                                     wo, heads=self.n_heads,
                                                     scale=scale)
                     acc = o if acc is None else acc + o
                 if fused_mode == "kvstat":
-                    acc = attn4.project_out(acc, n_summed=len(list(nbs)))
+                    acc = (attn4.to_out.grouped(acc,
+                                                n_summed=len(list(nbs)))
+                           if outpack else
+                           attn4.project_out(acc, n_summed=len(list(nbs))))
                 elif attn4.to_out.bias is not None:
                     k_br = n_nb if self.neighboring_attn_type == "add" else 1
                     acc = acc + k_br * attn4.to_out.bias.astype(self.dtype)

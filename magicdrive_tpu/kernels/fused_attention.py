@@ -215,9 +215,12 @@ def _fused_kvstat_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref, o_ref,
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot(p.astype(xq.dtype), v_scr[...],
                         preferred_element_type=jnp.float32) / l
-        if d_out is not None and d_out < o.shape[-1]:
-            o = o[:, :d_out]  # VMEM-side head pack (drop the lane padding)
-        o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
+        if d_out is not None:
+            # VMEM-side head pack (drop the lane padding; 4D group-major out)
+            o_ref[0, 0, pl.dslice(start, size)] = \
+                o[:, :d_out].astype(out_dtype)
+        else:
+            o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
 def _project_kv_into(xkv_ref, wk_ref, wv_ref, k_scr, v_scr):
@@ -279,8 +282,11 @@ def _fused_kvstat_group_kernel(xq_ref, xkv_ref, wq_ref, wk_ref, wv_ref,
     q = jax.lax.dot(xq, wq_ref[...],
                     preferred_element_type=jnp.float32)  # (bq, gh*Dp)
     q = (q * scale).astype(xq.dtype)
-    o_ref[0] = _group_attend(q, k_scr, v_scr, gh, d_pad, out_dtype,
-                             d_out=d_out)
+    o = _group_attend(q, k_scr, v_scr, gh, d_pad, out_dtype, d_out=d_out)
+    if d_out is not None:
+        o_ref[0, 0] = o  # 4D group-major packed layout
+    else:
+        o_ref[0] = o
 
 
 def _fused_kvstat_pair_group_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref,
@@ -306,7 +312,10 @@ def _fused_kvstat_pair_group_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref,
                        d_out=d_out)
     o2 = _group_attend(q, k2_scr, v2_scr, gh, d_pad, jnp.float32,
                        d_out=d_out)
-    o_ref[0] = (o1 + o2).astype(out_dtype)
+    if d_out is not None:
+        o_ref[0, 0] = (o1 + o2).astype(out_dtype)
+    else:
+        o_ref[0] = (o1 + o2).astype(out_dtype)
 
 
 def _auto_bq(Lq: int, Lk: int, C: int, d_pad: int, esize: int,
@@ -463,9 +472,11 @@ def _fused_kvstat_pair_kernel(xq_ref, xkv1_ref, xkv2_ref, wq_ref, wk_ref,
                         preferred_element_type=jnp.float32)
         q = (q * scale).astype(xq.dtype)
         o = attend(q, k1_scr, v1_scr) + attend(q, k2_scr, v2_scr)
-        if d_out is not None and d_out < o.shape[-1]:
-            o = o[:, :d_out]  # VMEM-side head pack
-        o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
+        if d_out is not None:
+            o_ref[0, 0, pl.dslice(start, size)] = \
+                o[:, :d_out].astype(out_dtype)  # VMEM-side head pack
+        else:
+            o_ref[0, pl.dslice(start, size)] = o.astype(out_dtype)
 
 
 def _shift_views(x, s, n):
@@ -711,6 +722,18 @@ def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
         kernel = functools.partial(_fused_kvstat_kernel, scale=scale,
                                    out_dtype=x_q.dtype, d_out=d_out)
     gd = gh * d_pad
+    if d_out is not None:
+        # head-packed outputs: gh*d_out lanes are not 128-divisible, so the
+        # output is GROUP-MAJOR 4D — (B, H/gh, Lq, gh*d_out) with the lane
+        # dim equal to the full array dim (always a legal block). Consumed
+        # by OutProjection.grouped (per-group einsum at logical depth).
+        out_specs = pl.BlockSpec((1, 1, bq, gh * do),
+                                 lambda b, h, i: (b, h, i, 0))
+        out_shape = jax.ShapeDtypeStruct((B, heads // gh, Lq, gh * do),
+                                         x_q.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, bq, gd), lambda b, h, i: (b, i, h))
+        out_shape = jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype)
     return pl.pallas_call(
         kernel,
         grid=(B, heads // gh, nq),
@@ -722,8 +745,8 @@ def _kvstat_fwd_impl(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, bq, gh * do), lambda b, h, i: (b, i, h)),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * do), x_q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((Lk, gd), x_q.dtype),
                         pltpu.VMEM((Lk, gd), x_q.dtype)],
         interpret=interpret,
@@ -822,9 +845,23 @@ def _fused_kvstat_fwd(x_q, x_kv, wq, wk, wv, scale, heads, d_pad, interpret,
 
 # the backward recomputes q/k/v with XLA matmuls and reuses the flash
 # fwd(+lse)/bwd pair — identical output layout (modulo the optional d_out
-# head-pack, which _fused_bwd re-pads from dy's own shape), so the
-# (B, nq, H) kernel's backward serves the kv-stationary forward unchanged.
+# head-pack, whose group-major 4D cotangent is restored to the flat padded
+# layout here), so the (B, nq, H) kernel's backward serves the
+# kv-stationary forward unchanged.
+def _unpack_dy(dy, heads, d_pad, d_out):
+    """(B, H/gh, Lq, gh*d_out) packed cotangent -> (B, Lq, H*d_pad) padded
+    (zero lanes ⇒ zero cotangents there)."""
+    B, G, Lq, P = dy.shape
+    gh = heads // G
+    dy5 = dy.reshape(B, G, Lq, gh, d_out)
+    dy5 = jnp.moveaxis(dy5, 1, 2).reshape(B, Lq, heads, d_out)
+    dy5 = jnp.pad(dy5, ((0, 0), (0, 0), (0, 0), (0, d_pad - d_out)))
+    return dy5.reshape(B, Lq, heads * d_pad)
+
+
 def _fused_kvstat_bwd(scale, heads, d_pad, interpret, d_out, res, dy):
+    if d_out is not None:
+        dy = _unpack_dy(dy, heads, d_pad, d_out)
     return _fused_bwd(scale, heads, d_pad, interpret, res, dy)
 
 
@@ -857,6 +894,14 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
                                    out_dtype=x_q.dtype, d_out=d_out)
     gd = gh * d_pad
     scr = lambda: pltpu.VMEM((Lk, gd), x_q.dtype)
+    if d_out is not None:
+        out_specs = pl.BlockSpec((1, 1, bq, gh * do),
+                                 lambda b, h, i: (b, h, i, 0))
+        out_shape = jax.ShapeDtypeStruct((B, heads // gh, Lq, gh * do),
+                                         x_q.dtype)
+    else:
+        out_specs = pl.BlockSpec((1, bq, gd), lambda b, h, i: (b, i, h))
+        out_shape = jax.ShapeDtypeStruct((B, Lq, heads * d_pad), x_q.dtype)
     return pl.pallas_call(
         kernel,
         grid=(B, heads // gh, nq),
@@ -869,8 +914,8 @@ def _kvstat_pair_fwd_impl(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
             pl.BlockSpec((Ck, gd), lambda b, h, i: (0, h)),
         ],
-        out_specs=pl.BlockSpec((1, bq, gh * do), lambda b, h, i: (b, i, h)),
-        out_shape=jax.ShapeDtypeStruct((B, Lq, heads * do), x_q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[scr(), scr(), scr(), scr()],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -927,13 +972,8 @@ def _sum_pair_grads(branch, args1, args2, dy):
 
 def _kvstat_pair_bwd(scale, heads, d_pad, interpret, shifts, d_out, res, dy):
     x_q, x_kv1, x_kv2, wq, wk, wv = res
-    if d_out is not None and d_out < d_pad:
-        # re-pad the head-packed cotangent to the branch kernels' padded
-        # layout (zero lanes ⇒ zero cotangents there)
-        B, Lq = dy.shape[0], dy.shape[1]
-        dy = jnp.pad(dy.reshape(B, Lq, heads, d_out),
-                     ((0, 0), (0, 0), (0, 0), (0, d_pad - d_out))
-                     ).reshape(B, Lq, heads * d_pad)
+    if d_out is not None:
+        dy = _unpack_dy(dy, heads, d_pad, d_out)
     if shifts is not None:
         # in-grid shift mode: the rolled copies exist only here in the
         # backward; cotangents return through the inverse permutation
@@ -977,14 +1017,17 @@ def fused_kvstat_attention_pair(
     via the kv BlockSpec index map — no rolled HBM copies.
 
     d_out: write each head's output at this LOGICAL depth (< the padded
-    d_pad) — the VMEM-side head pack; returns (B, Lq, H, d_out)."""
+    d_pad) — the VMEM-side head pack; returns the group-major
+    (B, H/gh, Lq, gh*d_out) layout ``_OutProj.grouped`` consumes."""
     if interpret is None:
         interpret = _interpret_default()
     d_pad = wq.shape[1] // heads
     B, Lq, _ = x_q.shape
     out = _kvstat_pair_core(x_q, x_kv1, x_kv2, wq, wk, wv, scale, heads,
                             d_pad, interpret, shifts, d_out)
-    return out.reshape(B, Lq, heads, d_out or d_pad)
+    if d_out is not None:
+        return out
+    return out.reshape(B, Lq, heads, d_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -1059,16 +1102,19 @@ def fused_kvstat_attention(
     shapes where nq > 2 makes the recomputing kernel uneconomical.
 
     Same contract as :func:`fused_qkv_attention`: returns (B, Lq, H, Dp) in
-    the padded-head layout ``Attention.project_out`` consumes — or
-    (B, Lq, H, d_out) with the lane padding dropped in VMEM when ``d_out``
-    (= dim_head) is given, so ``to_out`` runs unpadded."""
+    the padded-head layout ``Attention.project_out`` consumes — or, when
+    ``d_out`` (= dim_head) is given, the GROUP-MAJOR packed layout
+    (B, H/gh, Lq, gh*d_out) with each head's lane padding dropped in VMEM;
+    ``_OutProj.grouped`` consumes that at logical depth."""
     if interpret is None:
         interpret = _interpret_default()
     d_pad = wq.shape[1] // heads
     B, Lq, _ = x_q.shape
     out = _fused_kvstat_core(x_q, x_kv, wq, wk, wv, scale, heads, d_pad,
                              interpret, d_out)
-    return out.reshape(B, Lq, heads, d_out or d_pad)
+    if d_out is not None:
+        return out
+    return out.reshape(B, Lq, heads, d_pad)
 
 
 def fused_qkv_out_attention(

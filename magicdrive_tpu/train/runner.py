@@ -202,6 +202,13 @@ class Runner:
         self.modules = modules
         self.run_dir = run_dir
         self.tcfg = train_config_from_cfg(rc)
+        # backward schedule knob (trace-time env; PERFORMANCE.md round 5c):
+        # image configs default serial (+22% steps/s), video configs MUST
+        # run free (the serialization pins operands across the remat
+        # boundary — +7 GiB at the 60-frame t-shard). Explicit env wins.
+        if (rc.get("pair_bwd") and "MAGICDRIVE_PAIR_BWD" not in os.environ
+                and not (self.tcfg.frames_per_clip or 0) > 1):
+            os.environ["MAGICDRIVE_PAIR_BWD"] = str(rc["pair_bwd"])
 
         pc = cfg.get("parallel", {})
         shape = pc.get("mesh_shape")

@@ -661,9 +661,10 @@ def test_cross_view_gather_knob_matches_roll():
 
 
 def test_kvstat_outpack_matches_padded():
-    """d_out head-pack: the packed (B, L, H, D) output must equal the
-    padded path's valid lanes — values AND grads (the bwd re-pads dy) —
-    for the single, grouped (gh>1), and pair kernels."""
+    """d_out head-pack: the group-major packed (B, H/gh, L, gh*D) output
+    must equal the padded path's valid lanes — values AND grads (the bwd
+    unpacks dy) — for the single, grouped (gh>1), and pair kernels; the
+    grouped out-projection must equal the padded one."""
     import jax
 
     import magicdrive_tpu.kernels.fused_attention as fa
@@ -681,6 +682,12 @@ def test_kvstat_outpack_matches_padded():
             for w in ws]
     scale = D ** -0.5
 
+    def unpack(o):  # (B, G, L, gh*D) -> (B, L, H, D)
+        Bb, G, Ll, P = o.shape
+        gh = H // G
+        return jnp.moveaxis(o.reshape(Bb, G, Ll, gh, D), 1, 2).reshape(
+            Bb, Ll, H, D)
+
     for gh in (1, 2):
         old = fa._KV_HEADGROUP
         try:
@@ -689,8 +696,8 @@ def test_kvstat_outpack_matches_padded():
                                           interpret=True)
             got = fused_kvstat_attention(x, x, *wpad, heads=H, scale=scale,
                                          interpret=True, d_out=D)
-            assert got.shape == (B, L, H, D)
-            np.testing.assert_allclose(np.asarray(got),
+            assert got.ndim == 4 and got.shape[-1] % D == 0
+            np.testing.assert_allclose(np.asarray(unpack(got)),
                                        np.asarray(want[..., :D]), atol=2e-6)
 
             wantp = fused_kvstat_attention_pair(
@@ -698,19 +705,19 @@ def test_kvstat_outpack_matches_padded():
             gotp = fused_kvstat_attention_pair(
                 x, kv1, kv2, *wpad, heads=H, scale=scale, interpret=True,
                 d_out=D)
-            assert gotp.shape == (B, L, H, D)
-            np.testing.assert_allclose(np.asarray(gotp),
+            np.testing.assert_allclose(np.asarray(unpack(gotp)),
                                        np.asarray(wantp[..., :D]), atol=2e-6)
         finally:
             fa._KV_HEADGROUP = old
 
-    # gradients: packed path == padded path (projected through a dummy
-    # out-weight so dy exercises the re-pad)
+    # gradients: packed path == padded path (through an out-weight so dy
+    # exercises the group-major unpack in the bwd)
     wo = jnp.asarray(rng.normal(size=(H * D, C)).astype(np.float32) * 0.1)
 
     def loss_packed(x_):
         o = fused_kvstat_attention(x_, x_, *wpad, heads=H, scale=scale,
                                    interpret=True, d_out=D)
+        o = unpack(o)
         return jnp.sum((o.reshape(B, L, H * D) @ wo) ** 2)
 
     def loss_padded(x_):
@@ -727,10 +734,34 @@ def test_kvstat_outpack_matches_padded():
         o = fused_kvstat_attention_pair(x_, kv1, kv2, *wpad, heads=H,
                                         scale=scale, interpret=True,
                                         d_out=D if packed else None)
-        o = o[..., :D]
+        o = unpack(o) if packed else o[..., :D]
         return jnp.sum((o.reshape(B, L, H * D) @ wo) ** 2)
 
     gp1 = jax.grad(lambda x_: loss_pair(x_, True))(x)
     gp2 = jax.grad(lambda x_: loss_pair(x_, False))(x)
     np.testing.assert_allclose(np.asarray(gp1), np.asarray(gp2),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_grouped_out_projection_matches_padded():
+    """_OutProj.grouped on the packed layout == padded __call__ on the
+    equivalent padded layout."""
+    import jax
+
+    from magicdrive_tpu.core.attention import _OutProj
+
+    rng = np.random.default_rng(3)
+    B, L, H, D, DP, C = 2, 16, 4, 16, 128, 64
+    gh = 2
+    G = H // gh
+    proj = _OutProj(C, H, D, True, jnp.float32)
+    o_heads = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    v = proj.init(jax.random.PRNGKey(0), o_heads)
+
+    want = proj.apply(v, jnp.pad(o_heads, ((0, 0), (0, 0), (0, 0),
+                                           (0, DP - D))))
+    packed = jnp.moveaxis(
+        o_heads.reshape(B, L, G, gh, D), 2, 1).reshape(B, G, L, gh * D)
+    got = proj.apply(v, packed, method=_OutProj.grouped)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -126,10 +126,14 @@ CONFIGS = {
                 min_logits=90_000, upsample="subpixel", cv_pair="pair",
                 kv_headgroup=4),
     # HG2 + VMEM-side head-packed kvstat outputs (to_out runs UNPADDED;
-    # round-5 take on the r4d OS arm, relayout moved from HBM to VMEM)
+    # round-5 take on the r4d OS arm, relayout moved from HBM to VMEM) —
+    # measured 184.60 vs Y 186.92/186.67 -> now the DEFAULT; OX reverts
     "OP": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
                min_logits=90_000, upsample="subpixel", cv_pair="pair",
                kv_headgroup=2, kv_outpack=True),
+    "OX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
+               min_logits=90_000, upsample="subpixel", cv_pair="pair",
+               kv_headgroup=2, kv_outpack=False),
     # Y + rolled-copy cross-view gathers (round 4: the in-grid kv index-map
     # permutation is the new default; RX is the revert arm)
     "RX": dict(qkv="fused", attn="fused", ff="fused2", mode="kvstat",
@@ -168,7 +172,7 @@ def set_knobs(cfg):
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
     fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
     fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 2)
-    attn_mod._KV_OUTPACK = cfg.get("kv_outpack", False)
+    attn_mod._KV_OUTPACK = cfg.get("kv_outpack", True)
 
 
 def fetch(tree):
