@@ -166,6 +166,16 @@ _KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 2)
 # pipelining room than the DMA it saves). Removed per measure-or-delete;
 # PERFORMANCE.md round 4e is the record.
 
+# The round-4 headroom list's last pair-kernel idea — "q-chain pipelining
+# across the two attends" (a staged schedule issuing every (branch, head)
+# s-dot first, then every softmax, then every o-dot, so Mosaic could
+# overlap one branch's VPU softmax with the other's MXU dots) — was built
+# and chip-measured in round 5f: 186.72 ms/step vs the OP bracket
+# 185.12/184.43 (+2 ms). Mosaic's own scheduling of the chained form
+# already overlaps better than the hand-staged order, which pays the
+# widened fp32 live set in pipelining room. Removed per measure-or-delete;
+# PERFORMANCE.md round 5f is the record.
+
 
 def _sub_ranges(bq: int):
     """(start, size) sub-row tiles of a q block: _KV_SUBTILE even pieces

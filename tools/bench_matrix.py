@@ -146,6 +146,9 @@ CONFIGS = {
                skip_concat="concat"),
 }
 # Arms measured and REMOVED (measure-or-delete; results in PERFORMANCE.md):
+# - PS (round 5f): staged pair attend schedule (all (branch, head) s-dots,
+#   then softmaxes, then o-dots — the round-4 "q-chain pipelining" idea).
+#   186.72 ms/step vs the OP bracket 185.12/184.43.
 # - SG8 (round 4e): small-shape head-group escalation — level-1 self/pair +
 #   level-0-text kvstat kernels at gh=8, level-0 self/pair at gh=2 (level-2
 #   attns never reach kvstat; min_logits routes them to the XLA dot path).
