@@ -310,6 +310,33 @@ class Runner:
         # optional profiler window (SURVEY.md §5.1): +runner.profile_steps=[a,b]
         profile_window = rc.get("profile_steps") or None
         done = False
+        # Deferred metrics fetch (round 5g): blocking on float(loss) right
+        # after dispatch stalls the chip for a host round-trip EVERY step
+        # (the round-5 train-step profile measured the sync gap at ~120 ms
+        # of a 536 ms step through the tunnel). Instead, fetch step i-1's
+        # loss AFTER dispatching step i — its buffer is already (or about
+        # to be) materialized, so the fetch overlaps device execution of
+        # step i and the device pipeline never drains. The NaN guard
+        # (ref:base_runner.py:344) fires one step late, which still halts
+        # training immediately after the first bad update.
+        prev = None  # (step, metrics, epoch) of the not-yet-checked step
+
+        def check(entry):
+            p_step, p_metrics, p_epoch = entry
+            loss = float(p_metrics["loss"])
+            if not np.isfinite(loss):
+                raise RuntimeError(f"NaN/inf loss at step {p_step}")
+            if p_step % 10 == 0 or p_step <= 3:
+                nonlocal t_last
+                dt = time.perf_counter() - t_last
+                n = 10 if p_step % 10 == 0 else 1
+                self.logger.log(p_step, {
+                    "loss": loss,
+                    "steps_per_sec": n / dt,
+                    "samples_per_sec": n * samples_per_step / dt,
+                    "epoch": p_epoch})
+                t_last = time.perf_counter()
+
         for epoch in range(rc["num_train_epochs"]):
             if done:
                 break
@@ -324,18 +351,9 @@ class Runner:
                 if profile_window and step == profile_window[1]:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
-                loss = float(metrics["loss"])
-                if not np.isfinite(loss):  # NaN guard (ref:base_runner.py:344)
-                    raise RuntimeError(f"NaN/inf loss at step {step}")
-                if step % 10 == 0 or step <= 3:
-                    dt = time.perf_counter() - t_last
-                    n = 10 if step % 10 == 0 else 1
-                    self.logger.log(step, {
-                        "loss": loss,
-                        "steps_per_sec": n / dt,
-                        "samples_per_sec": n * samples_per_step / dt,
-                        "epoch": epoch})
-                    t_last = time.perf_counter()
+                if prev is not None:
+                    check(prev)
+                prev = (step, metrics, epoch)
                 if step % rc["checkpointing_steps"] == 0:
                     self.ckpt.save(step, state)
                 if self.validator and step % rc["validation_steps"] == 0:
@@ -344,6 +362,8 @@ class Runner:
                 if step >= max_steps:
                     done = True
                     break
+        if prev is not None:
+            check(prev)
         self.ckpt.save(step, state)
         self.ckpt.wait()
         self.save_deployable(state)

@@ -16,7 +16,13 @@ midpoint; the JSON carries the full range.
 
 Usage: python tools/bench_train.py [batch] [remat_policy] [--json]
        python tools/bench_train.py --matrix   # policy x pair_bwd sweep
+       python tools/bench_train.py 4 dots serial --scan  # lax.scan(8) —
+         device-sustained steps/s with zero per-step host dispatch (what a
+         colocated host sees; the tunnel adds ~100+ ms/step of dispatch
+         the production TPU host does not pay)
   remat_policy: full (default 'dots' for matrix) | attn | dots | none
+MAGICDRIVE_BENCH_SYNC: host-sync cadence for the per-step loop
+(default 10; 1 reproduces the pre-round-5g blocking loop).
 """
 from __future__ import annotations
 
@@ -42,7 +48,7 @@ TORCH_MFU = (0.15, 0.20, 0.25)   # low / mid / high; mid is the verdict
 V5E_PEAK = 197e12           # bf16
 
 
-def build_step(B: int, policy: str, pair_bwd: str):
+def build_step(B: int, policy: str, pair_bwd: str, scan_len: int = 0):
     from magicdrive_tpu.config.presets import (
         sd15mv_rawbox_224x400, init_params)
     from magicdrive_tpu.data.collate import CollateConfig, collate_fn
@@ -82,7 +88,16 @@ def build_step(B: int, policy: str, pair_bwd: str):
     # fresh function object per config: jit's trace cache would otherwise
     # reuse the previous config's executable (same trick as bench_matrix)
     raw = make_train_step(modules, tcfg)
-    step = jax.jit(lambda s, b, r: raw(s, b, r), donate_argnums=0)
+    if scan_len:
+        def scanned(s, b, keys):
+            def body(carry, k):
+                ns, m = raw(carry, b, k)
+                return ns, m["loss"]
+            return jax.lax.scan(body, s, keys)
+
+        step = jax.jit(scanned, donate_argnums=0)
+    else:
+        step = jax.jit(lambda s, b, r: raw(s, b, r), donate_argnums=0)
     return step, state, batch
 
 
@@ -99,7 +114,17 @@ def step_flops(step, state, batch) -> float:
         return 0.0
 
 
-def measure(B: int, policy: str, pair_bwd: str = "free", iters: int = 10):
+def measure(B: int, policy: str, pair_bwd: str = "free", iters: int = 10,
+            sync_every: int | None = None):
+    """sync_every: host-sync cadence. 1 = block on every step (the
+    pre-round-5f behavior); k > 1 lets the host run k steps ahead so
+    device execution pipelines across the tunnel RTT (the Runner's
+    deferred NaN guard does the same in production). Default: the
+    MAGICDRIVE_BENCH_SYNC env or 10 (= one sync per measurement window;
+    donated state buffers chain through the queued executions without
+    duplicating HBM — chip-validated at bs=4/dots/serial, round 5g)."""
+    if sync_every is None:
+        sync_every = int(os.environ.get("MAGICDRIVE_BENCH_SYNC", "10"))
     step, state, batch = build_step(B, policy, pair_bwd)
     flops = step_flops(step, state, batch)
 
@@ -115,8 +140,44 @@ def measure(B: int, policy: str, pair_bwd: str = "free", iters: int = 10):
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(
             jax.random.PRNGKey(2), i))
-        sync(state)  # sync every step: pipelined donated states hold 2x HBM
+        if (i + 1) % sync_every == 0:
+            sync(state)
+    sync(state)
     dt = (time.perf_counter() - t0) / iters
+    return dt, flops
+
+
+def measure_scan(B: int, policy: str, pair_bwd: str = "serial",
+                 K: int = 8, reps: int = 2):
+    """Device-sustained ms/step: K train steps inside one lax.scan, so the
+    host dispatches ONCE per K steps — isolates device throughput from the
+    tunnel's per-dispatch latency (a colocated production host pays
+    neither)."""
+    # per-step FLOPs from the SINGLE-step program (XLA's cost analysis
+    # reports a scan body once, not times the trip count); built and freed
+    # before the scan state materializes so HBM holds one state at a time
+    step1, state1, batch1 = build_step(B, policy, pair_bwd)
+    flops = step_flops(step1, state1, batch1)
+    del step1, state1, batch1
+
+    step, state, batch = build_step(B, policy, pair_bwd, scan_len=K)
+
+    def sync(s):
+        return np.asarray(jax.tree.leaves(s.trainable)[0].ravel()[:2])
+
+    keys = jax.random.split(jax.random.PRNGKey(2), K)
+
+    t0 = time.time()
+    state, losses = step(state, batch, keys)
+    sync(state)
+    print(f"# compile+first scan({K}): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, losses = step(state, batch, keys)
+        sync(state)
+    dt = (time.perf_counter() - t0) / (reps * K)
     return dt, flops
 
 
@@ -169,7 +230,10 @@ def main():
     policy = argv[1] if len(argv) > 1 else "dots"
     pair_bwd = argv[2] if len(argv) > 2 else \
         os.environ.get("MAGICDRIVE_PAIR_BWD", "free")
-    dt, fl = measure(B, policy, pair_bwd)
+    if "--scan" in sys.argv:
+        dt, fl = measure_scan(B, policy, pair_bwd)
+    else:
+        dt, fl = measure(B, policy, pair_bwd)
     report(B, policy, pair_bwd, dt, fl, as_json)
 
 

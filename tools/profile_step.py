@@ -6,10 +6,12 @@ framework_op_stats over the captured xplane). This is the round-3 look at
 where the ~260 ms step actually goes, now that the kernel knobs are proven
 to move it <1%.
 
-Usage: python tools/profile_step.py [trace_dir] [--pipeline]
+Usage: python tools/profile_step.py [trace_dir] [--pipeline|--train]
 (imports tools/bench_matrix.py, which builds zeros params on device;
 --pipeline traces ONE full MagicDrivePipeline call instead — the 20-step
-scan + VAE + conditioning — to expose cost outside the bare step)
+scan + VAE + conditioning — to expose cost outside the bare step;
+--train traces 3 full-size train steps via tools/bench_train.py's
+build_step at the shipped default bs=4 / dots / pair_bwd=serial)
 """
 import json
 import os
@@ -23,10 +25,41 @@ if os.path.isdir("/root/.axon_site"):
 def main():
     args_cli = [a for a in sys.argv[1:] if not a.startswith("--")]
     pipeline_mode = "--pipeline" in sys.argv
+    train_mode = "--train" in sys.argv
     trace_dir = args_cli[0] if args_cli else "/tmp/magicdrive_prof"
     import importlib.util
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/magicdrive_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    if train_mode:
+        # bench_matrix is NOT loaded (its device-resident inference params
+        # would contend with the train step's near-full HBM footprint)
+        import numpy as np
+
+        spec = importlib.util.spec_from_file_location(
+            "bench_train", os.path.join(os.path.dirname(__file__),
+                                        "bench_train.py"))
+        bt = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bt)
+        step, state, batch = bt.build_step(4, "dots", "serial")
+
+        def sync(s):
+            return np.asarray(jax.tree.leaves(s.trainable)[0].ravel()[:2])
+
+        state, _ = step(state, batch, jax.random.PRNGKey(1))
+        sync(state)
+        print("warm; tracing 3 train steps ...", flush=True)
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                state, _ = step(state, batch, jax.random.fold_in(
+                    jax.random.PRNGKey(2), i))
+                sync(state)
+        _analyze(trace_dir, n_calls=3)
+        return
 
     spec = importlib.util.spec_from_file_location(
         "bench_matrix", os.path.join(os.path.dirname(__file__),
@@ -78,6 +111,10 @@ def main():
                 out = f(*args)
             bm.fetch(out)
 
+    _analyze(trace_dir, n_calls=1 if pipeline_mode else 3)
+
+
+def _analyze(trace_dir, n_calls):
     # locate the xplane file
     import glob
 
@@ -127,7 +164,6 @@ def main():
                      if c and "host/device" in c.lower()), None)
         occ_i = next((i for i, c in enumerate(cols)
                       if c and "occurrence" in c.lower()), None)
-        n_calls = 1 if pipeline_mode else 3
         tot, cnt = defaultdict(float), defaultdict(int)
         dev_total = 0.0
         for r in rows:
