@@ -158,6 +158,22 @@ _KV_SUBTILE = _env_int("MAGICDRIVE_KV_SUBTILE", 1)
 # gh=1 (one full-length q block per two heads), while gh=4 (196.3) and
 # gh=8 (212.3) give the DMA savings back to VMEM pressure.
 _KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 2)
+# Shape-aware demotion (round 5h): the gh winner is empirical per shape —
+# the grouped kernel (112 MiB raised scope, wide unrolled body) wins at
+# the 224x400 (Lk=1400) and 424x800 (Lk=5300) level-0 rows, but at
+# 272x736 (Lk=3128) the one-head-per-grid-step kernel under Mosaic's
+# default 16 MiB scope runs the whole B=1 step 11.5 ms faster
+# (bench_matrix GX 155.21 vs Y 166.88/166.71 — PERFORMANCE.md round 5h).
+# When MAGICDRIVE_KV_HEADGROUP is NOT explicitly set, calls whose Lk falls
+# in the measured 272x736 band are capped at gh=1; an explicit env (or a
+# bench arm pinning kv_headgroup) disables the auto rule entirely.
+_KV_HEADGROUP_AUTO = "MAGICDRIVE_KV_HEADGROUP" not in os.environ
+
+
+def _headgroup_cap(Lk: int) -> int:
+    if _KV_HEADGROUP_AUTO and 2000 <= Lk < 4100:
+        return 1
+    return _KV_HEADGROUP
 # A "small-shape escalation" (gh=8 for shapes whose full-bq working set is
 # tiny — level-1 self/pair, the level-0 text cross — while level-0 keeps
 # gh=2) was built and measured on chip in round 4e: 188.32 ms/step vs the
@@ -409,11 +425,12 @@ def _group_vmem_estimate(Lk: int, C: int, d_pad: int, esize: int,
 def _group_choice(heads: int, Lq: int, Lk: int, C: int, d_pad: int,
                   esize: int, n_kv: int = 1):
     """(gh, bq) for the kv-stationary kernels: the largest head group
-    gh <= _KV_HEADGROUP dividing ``heads`` whose pessimistic working set
-    fits _GROUP_VMEM_BUDGET (the raised per-kernel scoped limit). Falls
-    back to (1, bq) — the original one-head-per-grid-step kernel under
-    Mosaic's default scoped limit."""
-    for gh in sorted({g for g in (8, 4, 2) if g <= _KV_HEADGROUP
+    gh <= the shape-aware cap (see _headgroup_cap) dividing ``heads``
+    whose pessimistic working set fits _GROUP_VMEM_BUDGET (the raised
+    per-kernel scoped limit). Falls back to (1, bq) — the original
+    one-head-per-grid-step kernel under Mosaic's default scoped limit."""
+    cap = _headgroup_cap(Lk)
+    for gh in sorted({g for g in (8, 4, 2) if g <= cap
                       and heads % g == 0}, reverse=True):
         for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):
             if bq > _ceil_to(Lq, 16):

@@ -41,6 +41,7 @@ def perf_knob_snapshot() -> Dict[str, object]:
         "cv_gather": tfm._CV_GATHER,
         "kv_subtile": fa._KV_SUBTILE,
         "kv_headgroup": fa._KV_HEADGROUP,
+        "kv_headgroup_auto": fa._KV_HEADGROUP_AUTO,
         "kv_outpack": attn._KV_OUTPACK,
         "pair_bwd": os.environ.get("MAGICDRIVE_PAIR_BWD", "free"),
     }

@@ -743,6 +743,26 @@ def test_kvstat_outpack_matches_padded():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_headgroup_auto_demotion_band():
+    """Shape-aware head-group cap (round 5h): with no explicit env/pin,
+    Lk in the measured 272x736 band demotes to gh=1; 224x400 and 424x800
+    level-0 shapes keep gh=2; an explicit pin disables the rule."""
+    import magicdrive_tpu.kernels.fused_attention as fa
+
+    old_auto = fa._KV_HEADGROUP_AUTO
+    try:
+        fa._KV_HEADGROUP_AUTO = True
+        gh_272, _ = fa._group_choice(8, 3128, 3128, 320, 128, 2)
+        gh_224, _ = fa._group_choice(8, 1400, 1400, 320, 128, 2)
+        gh_424, _ = fa._group_choice(8, 5300, 5300, 320, 128, 2)
+        assert (gh_272, gh_224, gh_424) == (1, 2, 2)
+        fa._KV_HEADGROUP_AUTO = False  # explicit pin wins
+        gh_pin, _ = fa._group_choice(8, 3128, 3128, 320, 128, 2)
+        assert gh_pin == 2
+    finally:
+        fa._KV_HEADGROUP_AUTO = old_auto
+
+
 def test_grouped_out_projection_matches_padded():
     """_OutProj.grouped on the packed layout == padded __call__ on the
     equivalent padded layout."""

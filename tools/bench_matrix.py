@@ -175,6 +175,10 @@ def set_knobs(cfg):
     attn_mod._CV_PAIR = cfg.get("cv_pair", "split")
     fa_mod._KV_SUBTILE = cfg.get("kv_subtile", 1)
     fa_mod._KV_HEADGROUP = cfg.get("kv_headgroup", 2)
+    # an arm that PINS kv_headgroup disables the shape-aware auto demotion
+    # (fused_attention._headgroup_cap); unpinned arms measure the shipped
+    # auto behavior
+    fa_mod._KV_HEADGROUP_AUTO = "kv_headgroup" not in cfg
     attn_mod._KV_OUTPACK = cfg.get("kv_outpack", True)
 
 
