@@ -4,7 +4,8 @@ Measures sustained samples/s of the full host path — h5 BEV-cache read +
 6x JPEG decode (900x1600) + ImageAug resize/crop to 224x400 + box
 canvas-filtering + collate — through ``data.loader.DataLoader``, swept over
 num_workers, and compares against the train step's consumption rate
-(PERFORMANCE.md: 1.90 steps/s x bs 3 = 5.7 samples/s/chip at 224x400).
+(PERFORMANCE.md round 5g: up to 8.93 samples/s/chip device-sustained
+at bs=4, 224x400).
 The reference's analogue is torch DataLoader worker processes
 (ref:magicdrive/runner/base_runner.py:116-146). VERDICT r4 weak #3.
 
@@ -13,7 +14,7 @@ Uses the synthetic mini-nuScenes (data/synth.py) with a DISTINCT JPEG per
 a single shared file would be.
 
 Usage: python tools/bench_loader.py [--samples N] [--batch 3] [--epochs 2]
-                                    [--workers 1,2,4,8] [--demand 5.7]
+                                    [--workers 1,2,4,8] [--demand 8.93]
 Prints one JSON line per worker count + a final verdict line.
 """
 from __future__ import annotations
@@ -84,7 +85,7 @@ def main():
     ap.add_argument("--batch", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--workers", default="1,2,4,8")
-    ap.add_argument("--demand", type=float, default=5.7,
+    ap.add_argument("--demand", type=float, default=8.93,
                     help="chip consumption, samples/s (train step bs=3)")
     args = ap.parse_args()
 
