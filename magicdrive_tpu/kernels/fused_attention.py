@@ -160,18 +160,23 @@ _KV_SUBTILE = _env_int("MAGICDRIVE_KV_SUBTILE", 1)
 _KV_HEADGROUP = _env_int("MAGICDRIVE_KV_HEADGROUP", 2)
 # Shape-aware demotion (round 5h): the gh winner is empirical per shape —
 # the grouped kernel (112 MiB raised scope, wide unrolled body) wins at
-# the 224x400 (Lk=1400) and 424x800 (Lk=5300) level-0 rows, but at
-# 272x736 (Lk=3128) the one-head-per-grid-step kernel under Mosaic's
+# the 224x400 (L=1400) and 424x800 (L=5300) level-0 rows, but at
+# 272x736 (L=3128) the one-head-per-grid-step kernel under Mosaic's
 # default 16 MiB scope runs the whole B=1 step 11.5 ms faster
 # (bench_matrix GX 155.21 vs Y 166.88/166.71 — PERFORMANCE.md round 5h).
-# When MAGICDRIVE_KV_HEADGROUP is NOT explicitly set, calls whose Lk falls
-# in the measured 272x736 band are capped at gh=1; an explicit env (or a
-# bench arm pinning kv_headgroup) disables the auto rule entirely.
+# When MAGICDRIVE_KV_HEADGROUP is NOT explicitly set, calls whose Lq AND
+# Lk both fall in the measured 272x736 band are capped at gh=1; an
+# explicit env (or a bench arm pinning kv_headgroup) disables the auto
+# rule entirely. BOTH lengths are required: the 224x400 TRAINING step's
+# concat-neighbor cross-view call is (Lq=1400, Lk=2800), and demoting it
+# tripled the train step (1563 vs 556 ms/step, chip-measured — the
+# round-5h initial Lk-only rule did exactly that); the 272x736 rows this
+# rule is FOR are square (Lq = Lk = 3128).
 _KV_HEADGROUP_AUTO = "MAGICDRIVE_KV_HEADGROUP" not in os.environ
 
 
-def _headgroup_cap(Lk: int) -> int:
-    if _KV_HEADGROUP_AUTO and 2000 <= Lk < 4100:
+def _headgroup_cap(Lq: int, Lk: int) -> int:
+    if _KV_HEADGROUP_AUTO and 2000 <= Lq < 4100 and 2000 <= Lk < 4100:
         return 1
     return _KV_HEADGROUP
 # A "small-shape escalation" (gh=8 for shapes whose full-bq working set is
@@ -429,7 +434,7 @@ def _group_choice(heads: int, Lq: int, Lk: int, C: int, d_pad: int,
     whose pessimistic working set fits _GROUP_VMEM_BUDGET (the raised
     per-kernel scoped limit). Falls back to (1, bq) — the original
     one-head-per-grid-step kernel under Mosaic's default scoped limit."""
-    cap = _headgroup_cap(Lk)
+    cap = _headgroup_cap(Lq, Lk)
     for gh in sorted({g for g in (8, 4, 2) if g <= cap
                       and heads % g == 0}, reverse=True):
         for bq in (_ceil_to(Lq, 16), 1024, 768, 512, 384, 256, 128):

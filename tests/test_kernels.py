@@ -745,8 +745,11 @@ def test_kvstat_outpack_matches_padded():
 
 def test_headgroup_auto_demotion_band():
     """Shape-aware head-group cap (round 5h): with no explicit env/pin,
-    Lk in the measured 272x736 band demotes to gh=1; 224x400 and 424x800
-    level-0 shapes keep gh=2; an explicit pin disables the rule."""
+    Lq AND Lk in the measured 272x736 band demote to gh=1; 224x400 and
+    424x800 level-0 shapes keep gh=2; the 224x400 TRAIN step's
+    concat-neighbor call (Lq=1400, Lk=2800) must NOT demote (demoting it
+    tripled the train step — see _headgroup_cap); an explicit pin
+    disables the rule."""
     import magicdrive_tpu.kernels.fused_attention as fa
 
     old_auto = fa._KV_HEADGROUP_AUTO
@@ -755,7 +758,8 @@ def test_headgroup_auto_demotion_band():
         gh_272, _ = fa._group_choice(8, 3128, 3128, 320, 128, 2)
         gh_224, _ = fa._group_choice(8, 1400, 1400, 320, 128, 2)
         gh_424, _ = fa._group_choice(8, 5300, 5300, 320, 128, 2)
-        assert (gh_272, gh_224, gh_424) == (1, 2, 2)
+        gh_cat, _ = fa._group_choice(8, 1400, 2800, 320, 128, 2)
+        assert (gh_272, gh_224, gh_424, gh_cat) == (1, 2, 2, 2)
         fa._KV_HEADGROUP_AUTO = False  # explicit pin wins
         gh_pin, _ = fa._group_choice(8, 3128, 3128, 320, 128, 2)
         assert gh_pin == 2
