@@ -376,14 +376,12 @@ class Attention(nn.Module):
         d = _LANE if self.dim_head % _LANE else self.dim_head
         wq, wk, wv = self.qkv_weights(d)
         if mode == "kvstat":
-            if _KV_OUTPACK and d != self.dim_head:
-                o = fused_kvstat_attention(
-                    x, context, wq, wk, wv, heads=self.heads,
-                    scale=self.scale, d_out=self.dim_head)
-                return tag_attn_out(self.to_out.grouped(o))
-            o = fused_kvstat_attention(x, context, wq, wk, wv,
-                                       heads=self.heads, scale=self.scale)
-            return tag_attn_out(self.project_out(o))
+            outpack = _KV_OUTPACK and d != self.dim_head
+            o = fused_kvstat_attention(
+                x, context, wq, wk, wv, heads=self.heads, scale=self.scale,
+                d_out=self.dim_head if outpack else None)
+            return tag_attn_out(self.to_out.grouped(o) if outpack
+                                else self.project_out(o))
         out = fused_qkv_out_attention(x, context, wq, wk, wv,
                                       self.to_out.padded_kernel(d),
                                       heads=self.heads, scale=self.scale)

@@ -52,7 +52,8 @@ def train_config_from_cfg(rc) -> TrainConfig:
         train_with_same_t=rc["train_with_same_t"],
         train_with_same_noise=rc["train_with_same_noise"],
         noise_offset=rc["noise_offset"],
-        use_8bit_adam=bool(rc.get("use_8bit_adam", False)))
+        use_8bit_adam=bool(rc.get("use_8bit_adam", False)),
+        frames_per_clip=rc.get("frames_per_clip"))
 
 
 class CheckpointManager:
@@ -354,9 +355,20 @@ class Runner:
                 if prev is not None:
                     check(prev)
                 prev = (step, metrics, epoch)
-                if step % rc["checkpointing_steps"] == 0:
+                at_ckpt = step % rc["checkpointing_steps"] == 0
+                at_val = (self.validator
+                          and step % rc["validation_steps"] == 0)
+                if at_ckpt or at_val:
+                    # drain the pending check BEFORE persisting/validating:
+                    # the deferred guard must never let a NaN state become
+                    # the latest checkpoint (the old blocking guard's
+                    # property; the sync cost is paid only at checkpoint
+                    # cadence)
+                    check(prev)
+                    prev = None
+                if at_ckpt:
                     self.ckpt.save(step, state)
-                if self.validator and step % rc["validation_steps"] == 0:
+                if at_val:
                     self.validator.validate(state.params, self.logger, step,
                                             self.run_dir)
                 if step >= max_steps:

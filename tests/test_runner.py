@@ -61,6 +61,48 @@ def test_train_loop_checkpoint_resume(tmp_path, tiny_setup):
     assert int(state2.step) == 3
 
 
+def test_pair_bwd_config_guard(tmp_path, tiny_setup):
+    """The pair_bwd config default applies to IMAGE training only: a video
+    config (frames_per_clip > 1) must NOT get MAGICDRIVE_PAIR_BWD=serial
+    (the serialization blows the 60-frame t-shard budget — round-5 review
+    finding: frames_per_clip was not plumbed from YAML, making the guard
+    dead code). Explicit env always wins."""
+    preset, modules = tiny_setup
+    ds = make_dataset(2)
+
+    def build(extra):
+        cfg = compose(CONFIG_DIR, overrides=[
+            "runner=debug", "runner.max_train_steps=1",
+            "runner.checkpointing_steps=10", "runner.validation_steps=1000",
+            "runner.validation_before_run=false", "runner.num_workers=1",
+            "runner.train_batch_size=1", "runner.bbox_max_length=8",
+            "parallel.mesh_shape=[1,1]",
+        ] + extra)
+        return Runner(cfg, preset, modules, ds, val_dataset=None,
+                      run_dir=str(tmp_path / "guard"))
+
+    old = os.environ.pop("MAGICDRIVE_PAIR_BWD", None)
+    try:
+        r = build(["+runner.pair_bwd=serial"])
+        assert os.environ.get("MAGICDRIVE_PAIR_BWD") == "serial"
+        assert r.tcfg.frames_per_clip is None
+        os.environ.pop("MAGICDRIVE_PAIR_BWD", None)
+
+        r = build(["+runner.pair_bwd=serial", "+runner.frames_per_clip=4"])
+        assert "MAGICDRIVE_PAIR_BWD" not in os.environ, \
+            "video config must not serialize the pair backward"
+        assert r.tcfg.frames_per_clip == 4
+
+        os.environ["MAGICDRIVE_PAIR_BWD"] = "free"
+        build(["+runner.pair_bwd=serial"])
+        assert os.environ["MAGICDRIVE_PAIR_BWD"] == "free", \
+            "explicit env must win over the config"
+    finally:
+        os.environ.pop("MAGICDRIVE_PAIR_BWD", None)
+        if old is not None:
+            os.environ["MAGICDRIVE_PAIR_BWD"] = old
+
+
 def test_serialization_roundtrip(tmp_path):
     import ml_dtypes
 

@@ -79,7 +79,6 @@ def main(argv=None):
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
         handlers=[logging.StreamHandler(),
                   logging.FileHandler(os.path.join(run_dir, "train.log"))])
-    save_run_config(cfg, run_dir, overrides)
 
     preset = preset_from_config(cfg)
     dtype = jnp.bfloat16 if cfg["runner"]["mixed_precision"] == "bf16" \
@@ -88,6 +87,11 @@ def main(argv=None):
     train_ds, val_ds = build_datasets(cfg)
     runner = Runner(cfg, preset, modules, train_ds, val_dataset=val_ds,
                     run_dir=run_dir)
+    # AFTER Runner.__init__: it applies config-driven trace-time env (e.g.
+    # pair_bwd), and the persisted perf-knob snapshot must record what the
+    # run actually compiles with (round-5 review finding: saving before
+    # Runner recorded pair_bwd='free' while the run trained 'serial').
+    save_run_config(cfg, run_dir, overrides)
     if cfg.get("validation_only"):
         # run the validator against current (resumed or fresh) weights and
         # exit (ref:base_runner.py:319-326 validation_only / try_run flags)
