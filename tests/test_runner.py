@@ -103,6 +103,46 @@ def test_pair_bwd_config_guard(tmp_path, tiny_setup):
             os.environ["MAGICDRIVE_PAIR_BWD"] = old
 
 
+def test_nan_guard_blocks_checkpoint(tmp_path, tiny_setup, monkeypatch):
+    """A NaN loss must abort training BEFORE the state is persisted: the
+    deferred guard (round 5g) drains its pending check ahead of every
+    ckpt.save, so the latest checkpoint is always finite (round-5 review
+    finding)."""
+    import magicdrive_tpu.train.runner as runner_mod
+
+    preset, modules = tiny_setup
+
+    def poisoned_make_train_step(mods, tcfg):
+        from magicdrive_tpu.train.train_step import make_train_step as mk
+        real_step = mk(mods, tcfg)
+
+        def step(state, batch, rng):
+            state, metrics = real_step(state, batch, rng)
+            metrics = dict(metrics, loss=metrics["loss"] * jnp.nan)
+            return state, metrics
+
+        return step
+
+    monkeypatch.setattr(runner_mod, "make_train_step",
+                        poisoned_make_train_step)
+    ds = make_dataset(6)
+    cfg = compose(CONFIG_DIR, overrides=[
+        "runner=debug", "runner.max_train_steps=6",
+        "runner.checkpointing_steps=1", "runner.validation_steps=1000",
+        "runner.validation_before_run=false", "runner.num_workers=1",
+        "runner.train_batch_size=1", "runner.bbox_max_length=8",
+        "parallel.mesh_shape=[1,1]",
+    ])
+    run_dir = str(tmp_path / "nanrun")
+    runner = Runner(cfg, preset, modules, ds, val_dataset=None,
+                    run_dir=run_dir)
+    with pytest.raises(RuntimeError, match="NaN/inf loss"):
+        runner.run(resume=False)
+    # every step checkpoints (checkpointing_steps=1), but the drain check
+    # raised before the first save could persist a poisoned state
+    assert runner.ckpt.latest_step() is None
+
+
 def test_serialization_roundtrip(tmp_path):
     import ml_dtypes
 
